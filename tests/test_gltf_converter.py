@@ -1,0 +1,171 @@
+"""Converter tests — run against the real reference test.gltf when present,
+otherwise against a synthetic glTF built in-memory."""
+
+import base64
+import json
+import os
+
+import numpy as np
+import pytest
+
+from zrenderer_tpu.scene.mesh import MeshData
+from zrenderer_tpu.scene.scene import Mobility, Scene
+from zrenderer_tpu.tools.gltf_converter import (
+    convert_gltf_scene,
+    main as converter_main,
+)
+
+REFERENCE_GLTF = "/root/reference/zrenderer/content/scenes/test.gltf"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_GLTF), reason="reference assets not mounted"
+)
+
+
+@needs_reference
+def test_reference_scene_counts():
+    scene, mesh_data = convert_gltf_scene(REFERENCE_GLTF)
+    # test.gltf: nodes Cube + Cube.002 share one mesh; 48 verts, 180 indices.
+    assert [n.name for n in scene.nodes] == ["Cube", "Cube.002"]
+    assert len(mesh_data.meshes) == 1  # dedup by mesh name
+    assert mesh_data.meshes[0].num_vertices == 48
+    assert mesh_data.meshes[0].lod_size(0) == 180
+    assert len(mesh_data.vertex_data) == 48 * 16  # fixed sizing (QUIRKS.md)
+    assert scene.nodes[0].mesh_indices == scene.nodes[1].mesh_indices == [0]
+    assert all(n.mobility == Mobility.STATIC for n in scene.nodes)
+    assert len(scene.cameras) == 1
+
+
+@needs_reference
+def test_reference_camera():
+    scene, _ = convert_gltf_scene(REFERENCE_GLTF)
+    cam = scene.cameras[0]
+    np.testing.assert_allclose(cam.position, [-1.5, 3.0, 10.0])
+    assert cam.yfov == pytest.approx(0.39959652046304894)
+    assert cam.znear == pytest.approx(0.10000000149011612)
+    assert cam.zfar == pytest.approx(1000.0)
+    # Combined rotation is ~-15.5deg about X: forward points ahead and down.
+    assert np.linalg.norm(cam.forward) == pytest.approx(1.0, abs=1e-5)
+    assert cam.forward[2] < -0.9
+    assert cam.forward[1] < 0
+    # 2*asin(0.60876) = 75deg up, child -90deg => exactly -15deg pitch.
+    assert cam.pitch == pytest.approx(-np.pi / 12, abs=1e-4)
+
+
+@needs_reference
+def test_reference_transforms():
+    scene, _ = convert_gltf_scene(REFERENCE_GLTF)
+    np.testing.assert_allclose(scene.transforms[0], np.eye(4))
+    t = scene.transforms[1]
+    np.testing.assert_allclose(
+        t[3, :3],
+        [-2.2731475830078125, 0.9120144844055176, 2.2185516357421875],
+        rtol=1e-6,
+    )
+
+
+@needs_reference
+def test_reference_vertex_colors_u16_normalized():
+    _, mesh_data = convert_gltf_scene(REFERENCE_GLTF)
+    colors = mesh_data.vertices_of(mesh_data.meshes[0])[:, 5:9]
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+    # u16/65535 values are exact multiples of 1/65535
+    scaled = colors * 65535.0
+    np.testing.assert_allclose(scaled, np.round(scaled), atol=1e-3)
+
+
+@needs_reference
+def test_converter_cli_writes_bins(tmp_path):
+    rc = converter_main(["-s", REFERENCE_GLTF, "-o", str(tmp_path)])
+    assert rc == 0
+    scene = Scene.load(tmp_path / "scene.bin")
+    mesh_data = MeshData.load(tmp_path / "meshes.bin")
+    assert len(scene.nodes) == 2
+    assert mesh_data.meshes[0].lod_size(0) == 180
+
+
+def _write_synthetic_gltf(tmp_path):
+    """A minimal one-triangle scene with a u16 color stream and extras."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    col = np.array(
+        [[65535, 0, 0, 65535], [0, 65535, 0, 65535], [0, 0, 65535, 65535]], np.uint16
+    )
+    idx = np.array([0, 1, 2], np.uint16)
+    buf = pos.tobytes() + col.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "name": "Tri", "extras": {"static": 0.0},
+             "translation": [1, 2, 3]},
+            {
+                "name": "Cam",
+                "translation": [0, 0, 5],
+                "children": [2],
+            },
+            {"name": "CamOrient", "camera": 0},
+        ],
+        "cameras": [
+            {"type": "perspective", "perspective": {"yfov": 0.8, "znear": 0.1}}
+        ],
+        "meshes": [
+            {
+                "name": "TriMesh",
+                "primitives": [
+                    {"attributes": {"POSITION": 0, "COLOR_0": 1}, "indices": 2}
+                ],
+            }
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {
+                "bufferView": 1,
+                "componentType": 5123,
+                "count": 3,
+                "type": "VEC4",
+                "normalized": True,
+            },
+            {"bufferView": 2, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 24},
+            {"buffer": 0, "byteOffset": 60, "byteLength": 6},
+        ],
+        "buffers": [
+            {
+                "byteLength": len(buf),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+            }
+        ],
+    }
+    path = tmp_path / "tri.gltf"
+    path.write_text(json.dumps(doc))
+    return path
+
+
+def test_synthetic_scene(tmp_path):
+    scene, mesh_data = convert_gltf_scene(str(_write_synthetic_gltf(tmp_path)))
+    assert [n.name for n in scene.nodes] == ["Tri"]
+    assert scene.nodes[0].mobility == Mobility.MOVEABLE  # extras.static = 0
+    colors = mesh_data.vertices_of(mesh_data.meshes[0])[:, 5:9]
+    np.testing.assert_allclose(
+        colors, [[1, 0, 0, 1], [0, 1, 0, 1], [0, 0, 1, 1]], atol=1e-6
+    )
+    np.testing.assert_allclose(scene.transforms[0][3, :3], [1, 2, 3])
+    cam = scene.cameras[0]
+    np.testing.assert_allclose(cam.position, [0, 0, 5])
+    np.testing.assert_allclose(cam.forward, [0, 0, -1], atol=1e-6)
+    assert cam.zfar == 0.0  # optional zfar missing -> 0 like the reference
+
+
+def test_mesh_folder_mode(tmp_path):
+    _write_synthetic_gltf(tmp_path)
+    rc = converter_main(["-i", str(tmp_path), "-o", str(tmp_path / "out")])
+    assert rc == 0
+    mesh_data = MeshData.load(tmp_path / "out" / "meshes.bin")
+    assert len(mesh_data.meshes) == 1
+    assert mesh_data.meshes[0].num_vertices == 3
+    assert not (tmp_path / "out" / "scene.bin").exists()

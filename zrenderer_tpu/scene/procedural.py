@@ -1,0 +1,134 @@
+"""Procedural scene construction — fixture generator for tests and demos.
+
+``make_test_scene()`` reproduces the *layout* of the reference test scene
+(``zrenderer/content/scenes/test.gltf``): two nodes instancing one cube mesh
+(the second translated), plus one perspective camera above and behind the
+cubes looking down at them.  The cube geometry here is generated
+analytically (24 vertices / 36 indices with face colors); exact-parity tests
+against the reference instead convert the real ``test.gltf`` via
+``zrenderer_tpu.tools.gltf_converter``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zrenderer_tpu.math import zmath as zm
+from zrenderer_tpu.scene.mesh import MeshData, make_vertex
+from zrenderer_tpu.scene.scene import Camera, Mobility, Node, Scene
+
+# Same placement constants as the reference test scene (test.gltf nodes).
+CUBE2_TRANSLATION = (-2.2731475830078125, 0.9120144844055176, 2.2185516357421875)
+CAMERA_TRANSLATION = (-1.5, 3.0, 10.0)
+CAMERA_PARENT_QUAT = (0.6087614297866821, 0.0, 0.0, 0.7933533191680908)
+CAMERA_CHILD_QUAT = (-0.7071067690849304, 0.0, 0.0, 0.7071067690849304)
+CAMERA_YFOV = 0.39959652046304894
+CAMERA_ZNEAR = 0.10000000149011612
+CAMERA_ZFAR = 1000.0
+
+_FACES = [
+    # (normal, tangent, four corners CCW seen from outside, color)
+    ((0, 0, 1), (1, 0, 0, 1), [(-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)], (1, 0, 0, 1)),
+    ((0, 0, -1), (-1, 0, 0, 1), [(1, -1, -1), (-1, -1, -1), (-1, 1, -1), (1, 1, -1)], (0, 1, 0, 1)),
+    ((1, 0, 0), (0, 0, -1, 1), [(1, -1, 1), (1, -1, -1), (1, 1, -1), (1, 1, 1)], (0, 0, 1, 1)),
+    ((-1, 0, 0), (0, 0, 1, 1), [(-1, -1, -1), (-1, -1, 1), (-1, 1, 1), (-1, 1, -1)], (1, 1, 0, 1)),
+    ((0, 1, 0), (1, 0, 0, 1), [(-1, 1, 1), (1, 1, 1), (1, 1, -1), (-1, 1, -1)], (1, 0, 1, 1)),
+    ((0, -1, 0), (1, 0, 0, 1), [(-1, -1, -1), (1, -1, -1), (1, -1, 1), (-1, -1, 1)], (0, 1, 1, 1)),
+]
+
+
+def make_cube_mesh(mesh_data: MeshData, size: float = 1.0) -> int:
+    """Append a colored unit cube (24 verts, 36 indices); returns mesh index."""
+    verts = []
+    indices = []
+    uvs = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    for normal, tangent, corners, color in _FACES:
+        base = len(verts)
+        for corner, uv in zip(corners, uvs):
+            pos = tuple(c * size for c in corner)
+            verts.append(make_vertex(pos, uv=uv, color=color, normal=normal, tangent=tangent))
+        indices += [base, base + 1, base + 2, base, base + 2, base + 3]
+    return mesh_data.append_mesh(
+        np.stack(verts), np.array(indices, np.uint32)
+    )
+
+
+def make_test_camera() -> Camera:
+    """The reference test scene's camera, with forward derived properly."""
+    orientation = zm.qmul(
+        np.array(CAMERA_CHILD_QUAT, np.float32),
+        np.array(CAMERA_PARENT_QUAT, np.float32),
+    )
+    pitch, yaw, _ = zm.quat_to_euler(orientation)
+    return Camera(
+        position=np.array(CAMERA_TRANSLATION, np.float32),
+        forward=zm.rotate_vec3(orientation, (0.0, 0.0, -1.0))[:3],
+        pitch=float(pitch),
+        yaw=float(yaw),
+        yfov=CAMERA_YFOV,
+        znear=CAMERA_ZNEAR,
+        zfar=CAMERA_ZFAR,
+        name="Camera",
+    )
+
+
+def make_test_scene() -> tuple:
+    """Two cube nodes + one camera, mirroring the reference test scene layout."""
+    mesh_data = MeshData()
+    cube = make_cube_mesh(mesh_data)
+
+    scene = Scene()
+    scene.nodes.append(
+        Node(mesh_indices=[cube], transform_index=0, mobility=Mobility.STATIC, name="Cube")
+    )
+    scene.transforms.append(zm.identity())
+    scene.nodes.append(
+        Node(
+            mesh_indices=[cube],
+            transform_index=1,
+            mobility=Mobility.STATIC,
+            name="Cube.002",
+        )
+    )
+    scene.transforms.append(zm.translation(*CUBE2_TRANSLATION))
+    scene.cameras.append(make_test_camera())
+    return scene, mesh_data
+
+
+def make_triangle_soup(
+    num_triangles: int,
+    seed: int = 0,
+    extent: float = 4.0,
+    behind_camera_fraction: float = 0.0,
+) -> tuple:
+    """Random triangle soup scene for stress/parity tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    n = num_triangles * 3
+    verts = np.zeros((n, 16), np.float32)
+    centers = rng.uniform(-extent, extent, size=(num_triangles, 1, 3))
+    offsets = rng.uniform(-1.0, 1.0, size=(num_triangles, 3, 3))
+    pos = (centers + offsets).reshape(n, 3)
+    if behind_camera_fraction > 0:
+        k = int(num_triangles * behind_camera_fraction) * 3
+        pos[:k, 2] += 40.0  # push past the camera to exercise clipping
+    verts[:, 0:3] = pos
+    verts[:, 5:9] = rng.uniform(0, 1, size=(n, 4)).astype(np.float32)
+    verts[:, 8] = 1.0
+    indices = np.arange(n, dtype=np.uint32)
+
+    mesh_data = MeshData()
+    mesh = mesh_data.append_mesh(verts, indices)
+    scene = Scene()
+    scene.nodes.append(Node(mesh_indices=[mesh], transform_index=0, name="soup"))
+    scene.transforms.append(zm.identity())
+    scene.cameras.append(
+        Camera(
+            position=np.array([0, 0, 12], np.float32),
+            forward=np.array([0, 0, -1], np.float32),
+            yfov=0.8,
+            znear=0.1,
+            zfar=100.0,
+            name="soupcam",
+        )
+    )
+    return scene, mesh_data
