@@ -1,0 +1,50 @@
+"""Pallas kernel parity vs the CPU oracle (interpret mode on CPU).
+
+Interpret mode dispatches kernel ops eagerly per triangle iteration, so this
+is kept to one compact scene; real-hardware parity is exercised by bench.py
+and the engine tests on TPU.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zrenderer_tpu.engine.upload import flatten_scene
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_pallas as rp
+from zrenderer_tpu.raster_ref import raster_cpu
+from zrenderer_tpu.scene.procedural import make_test_scene
+
+
+def test_pallas_interpret_bit_exact_parity():
+    W, H = 128, 32  # one (TILE_H, TILE_W) tile
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+
+    img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, W, H)
+    u8_cpu = raster_cpu.pack_u8(img_cpu)
+
+    color, depth = rp.rasterize_setup_pallas(
+        jnp.asarray(ti.T), jnp.asarray(tf.T), W, H, interpret=True
+    )
+    u8_pl = np.asarray(rp.unpack_rgba8(color))
+
+    assert (np.asarray(depth) < 1.0).mean() > 0.1, "scene unexpectedly empty"
+    np.testing.assert_array_equal(
+        np.asarray(depth).view(np.uint32), depth_cpu.view(np.uint32)
+    )
+    np.testing.assert_array_equal(u8_pl, u8_cpu)
+
+
+def test_unpack_rgba8():
+    packed = jnp.asarray(np.array([[0x04030201, 0xFF000000]], np.uint32))
+    u8 = np.asarray(rp.unpack_rgba8(packed))
+    np.testing.assert_array_equal(u8[0, 0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(u8[0, 1], [0, 0, 0, 255])

@@ -1,0 +1,172 @@
+"""Pixel-exact parity: CPU oracle vs XLA path (geometry + raster + pack).
+
+This is the core correctness gate demanded by BASELINE.md ("pixel-exact
+parity vs the CPU reference raster").  Geometry setup buffers are compared
+bit-for-bit; final u8 images must be identical arrays.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zrenderer_tpu.engine.upload import flatten_scene
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_xla
+from zrenderer_tpu.raster_ref import raster_cpu
+from zrenderer_tpu.scene.procedural import make_test_scene, make_triangle_soup
+
+
+def _prepare(scene, mesh_data, width, height, camera=None):
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    cam = camera or scene.active_camera
+    vp = g.view_proj_from_camera(cam, width, height)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    return flat, matrices
+
+
+def _setup_np(flat, matrices, width, height):
+    return g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, width, height,
+    )
+
+
+def _setup_jax(flat, matrices, width, height):
+    ti, tf = raster_xla.setup_pipeline_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        width, height,
+    )
+    return np.asarray(ti), np.asarray(tf)
+
+
+def _assert_ulp_close(a, b, max_ulp=4):
+    """f32 arrays equal within max_ulp units in the last place."""
+    ai = a.view(np.int32).astype(np.int64)
+    bi = b.view(np.int32).astype(np.int64)
+    # Map to monotonic integer space (sign-magnitude -> offset binary).
+    ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
+    bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
+    ulp = np.abs(ai - bi)
+    assert ulp.max() <= max_ulp, f"max ulp diff {ulp.max()}"
+
+
+def assert_setup_parity(flat, matrices, width, height):
+    """Setup parity contract (docs/RASTER_SPEC.md §5): integer coverage data
+    bit-exact; f32 interpolation constants within 4 ulp (XLA may contract
+    mul+add chains into FMAs, NumPy never does)."""
+    ti_np, tf_np = _setup_np(flat, matrices, width, height)
+    ti_jx, tf_jx = _setup_jax(flat, matrices, width, height)
+    np.testing.assert_array_equal(ti_np, ti_jx)
+    _assert_ulp_close(tf_np, tf_jx)
+    return ti_np, tf_np
+
+
+def assert_image_parity(scene, mesh_data, width, height, min_coverage=0.01):
+    flat, matrices = _prepare(scene, mesh_data, width, height)
+    ti, tf = assert_setup_parity(flat, matrices, width, height)
+
+    img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, width, height)
+    u8_cpu = raster_cpu.pack_u8(img_cpu)
+
+    u8_jax, depth_jax = raster_xla.render_setup_jit(ti, tf, width, height)
+    u8_jax = np.asarray(u8_jax)
+    depth_jax = np.asarray(depth_jax)
+
+    coverage = (depth_cpu < 1.0).mean()
+    assert coverage > min_coverage, "scene unexpectedly empty"
+    np.testing.assert_array_equal(
+        depth_cpu.view(np.uint32), depth_jax.view(np.uint32)
+    )
+    np.testing.assert_array_equal(u8_cpu, u8_jax)
+    return u8_cpu, coverage
+
+
+def test_parity_test_scene_256():
+    scene, mesh_data = make_test_scene()
+    img, cov = assert_image_parity(scene, mesh_data, 256, 256)
+    assert 0.3 < cov < 0.9
+
+
+def test_parity_test_scene_nonsquare():
+    scene, mesh_data = make_test_scene()
+    assert_image_parity(scene, mesh_data, 320, 192)
+
+
+def test_parity_reference_scene():
+    import os
+
+    if not os.path.exists("/root/reference/zrenderer/content/scenes/test.gltf"):
+        pytest.skip("reference assets not mounted")
+    from zrenderer_tpu.tools.gltf_converter import convert_gltf_scene
+
+    scene, mesh_data = convert_gltf_scene(
+        "/root/reference/zrenderer/content/scenes/test.gltf"
+    )
+    img, cov = assert_image_parity(scene, mesh_data, 256, 144)
+    assert cov > 0.2
+
+
+def test_parity_triangle_soup():
+    scene, mesh_data = make_triangle_soup(120, seed=3)
+    assert_image_parity(scene, mesh_data, 192, 128)
+
+
+def test_parity_soup_with_near_clipping():
+    # Push a fraction of triangles behind/through the camera plane to
+    # exercise the Sutherland-Hodgman near/guard clipper.
+    scene, mesh_data = make_triangle_soup(
+        150, seed=11, extent=10.0, behind_camera_fraction=0.4
+    )
+    assert_image_parity(scene, mesh_data, 160, 120, min_coverage=0.005)
+
+
+def test_parity_huge_triangles_guard_band():
+    # Triangles far larger than the viewport: guard-band clipping must keep
+    # integer coverage exact.
+    scene, mesh_data = make_triangle_soup(24, seed=5, extent=1.0)
+    md = mesh_data
+    verts = md.vertex_data.reshape(-1, 16)
+    verts[:, 0:2] *= 40.0  # huge in x/y
+    md.vertex_data = verts.reshape(-1)
+    assert_image_parity(scene, md, 128, 96, min_coverage=0.01)
+
+
+def test_degenerate_and_padding_triangles_ignored():
+    scene, mesh_data = make_test_scene()
+    flat, matrices = _prepare(scene, mesh_data, 64, 64)
+    ti, tf = _setup_np(flat, matrices, 64, 64)
+    # Padding triangles (index 0,0,0) must be culled in setup.
+    n_valid = int(ti[:, g.I_VALID].sum())
+    assert n_valid <= flat.num_triangles
+    img, depth = raster_cpu.rasterize_setup(ti, tf, 64, 64)
+    assert np.isfinite(img).all()
+
+
+def test_depth_tie_first_triangle_wins():
+    # Two identical triangles with different colors: the first submitted must
+    # win everywhere (strict LESS + submission order).
+    from zrenderer_tpu.scene.mesh import MeshData, make_vertex
+    from zrenderer_tpu.scene.scene import Camera, Node, Scene
+    from zrenderer_tpu.math import zmath as zm
+
+    tri = [(-1, -1, 0), (1, -1, 0), (0, 1, 0)]
+    verts = []
+    for color in [(1, 0, 0, 1), (0, 1, 0, 1)]:
+        for p in tri:
+            verts.append(make_vertex(p, color=color))
+    md = MeshData()
+    md.append_mesh(np.stack(verts), np.arange(6, dtype=np.uint32))
+    sc = Scene()
+    sc.nodes.append(Node(mesh_indices=[0], transform_index=0, name="t"))
+    sc.transforms.append(zm.identity())
+    sc.cameras.append(
+        Camera(position=np.array([0, 0, 3], np.float32),
+               forward=np.array([0, 0, -1], np.float32),
+               yfov=1.0, znear=0.1, zfar=100.0)
+    )
+    img, cov = assert_image_parity(sc, md, 96, 96, min_coverage=0.05)
+    covered = img[..., 3] == 255
+    drawn = img[covered & (img[..., 0:3].sum(axis=-1) > 0)]
+    assert (drawn[:, 0] == 255).all() and (drawn[:, 1] == 0).all()

@@ -1,0 +1,116 @@
+"""Host-side scene flattening — the upload-heap analog.
+
+The reference uploads one interleaved vertex buffer + one index buffer and
+then issues one draw per (node, mesh) pair with a per-draw root-CBV
+transform (zrenderer.zig:131-209, :327-352).  On TPU the whole frame is one
+jitted step, so the draw loop is flattened at load time into dense device
+arrays: every (node, mesh) draw's vertices are appended (instanced meshes
+are duplicated per draw) and each vertex records its draw's transform index.
+Triangle order in ``tri_vidx`` is the reference's submission order (node
+order, then index order), which is the canonical depth-tie order
+(docs/RASTER_SPEC.md §3).
+
+Static scenes flatten once; per-frame dynamics (camera, node transforms)
+stay traced arguments of the jitted frame function, so one compilation
+serves every frame (SURVEY.md §7.4 item 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from zrenderer_tpu.scene.mesh import (
+    V_COLOR,
+    V_NORMAL,
+    V_POSITION,
+    V_TANGENT,
+    V_UV,
+)
+
+
+@dataclass
+class FlatScene:
+    """Draw-expanded host arrays ready for device upload."""
+
+    positions: np.ndarray  # (N, 4) f32, w = 1
+    attrs: np.ndarray  # (N, 12) f32: color4, uv2, normal3, tangent3
+    tri_vidx: np.ndarray  # (T, 3) int32, submission order
+    vert_node: np.ndarray  # (N,) int32 -> index into node_to_world
+    node_to_world: np.ndarray  # (D, 4, 4) f32, one per draw
+    num_triangles: int  # valid triangles before padding
+    num_vertices: int
+
+    @property
+    def draw_count(self) -> int:
+        return len(self.node_to_world)
+
+
+def flatten_scene(scene, mesh_data, pad: bool = True,
+                  vert_align: int = 128, tri_align: int = 256) -> FlatScene:
+    positions = []
+    attrs = []
+    tri_vidx = []
+    vert_node = []
+    node_mats = []
+    vbase = 0
+
+    for node in scene.nodes:
+        transform = np.asarray(
+            scene.transforms[node.transform_index], np.float32
+        )
+        for mesh_index in node.mesh_indices:
+            mesh = mesh_data.meshes[mesh_index]
+            verts = mesh_data.vertices_of(mesh)  # (nv, 16)
+            idx = mesh_data.indices_of(mesh, lod=0).astype(np.int64)
+
+            draw_id = len(node_mats)
+            node_mats.append(transform)
+
+            pos = np.ones((len(verts), 4), np.float32)
+            pos[:, :3] = verts[:, V_POSITION]
+            positions.append(pos)
+
+            a = np.zeros((len(verts), 12), np.float32)
+            a[:, 0:4] = verts[:, V_COLOR]
+            a[:, 4:6] = verts[:, V_UV]
+            a[:, 6:9] = verts[:, V_NORMAL]
+            a[:, 9:12] = verts[:, V_TANGENT][:, :3]
+            attrs.append(a)
+
+            vert_node.append(np.full(len(verts), draw_id, np.int32))
+            tri_vidx.append((idx.reshape(-1, 3) + vbase).astype(np.int32))
+            vbase += len(verts)
+
+    positions = np.concatenate(positions, axis=0)
+    attrs = np.concatenate(attrs, axis=0)
+    tri_vidx = np.concatenate(tri_vidx, axis=0)
+    vert_node = np.concatenate(vert_node, axis=0)
+    num_triangles = len(tri_vidx)
+    num_vertices = len(positions)
+
+    if pad:
+        nv = -(-num_vertices // vert_align) * vert_align
+        nt = -(-num_triangles // tri_align) * tri_align
+        if nv > num_vertices:
+            extra = nv - num_vertices
+            positions = np.concatenate(
+                [positions, np.tile(np.array([[0, 0, 0, 1]], np.float32), (extra, 1))]
+            )
+            attrs = np.concatenate([attrs, np.zeros((extra, 12), np.float32)])
+            vert_node = np.concatenate([vert_node, np.zeros(extra, np.int32)])
+        if nt > num_triangles:
+            # Degenerate (0,0,0) triangles: zero area -> culled in setup.
+            padt = np.zeros((nt - num_triangles, 3), np.int32)
+            tri_vidx = np.concatenate([tri_vidx, padt])
+
+    return FlatScene(
+        positions=positions,
+        attrs=attrs,
+        tri_vidx=tri_vidx,
+        vert_node=vert_node,
+        node_to_world=np.stack(node_mats, axis=0).astype(np.float32),
+        num_triangles=num_triangles,
+        num_vertices=num_vertices,
+    )

@@ -1,0 +1,347 @@
+"""Shared geometry pipeline: transform -> clip -> snap -> triangle setup.
+
+This module implements §1-§3 of docs/RASTER_SPEC.md once, parameterized over
+the array namespace ``xp`` (numpy for the CPU reference rasterizer,
+jax.numpy for the device path).  Sharing the code guarantees the two
+backends evaluate formula-identical f32/int32 expressions, which is what
+makes pixel-exact parity achievable.
+
+It replaces the reference's vertex-stage HLSL (uber.hlsl:24-29: object->clip
+transform) plus the fixed-function clipper/viewport/raster-setup hardware
+that the reference gets for free from D3D12.
+
+Everything here is static-shape and jit-safe: near/guard-band clipping uses
+a vectorized Sutherland-Hodgman with a fixed 8-vertex polygon buffer and a
+fixed 6-triangle fan, laid out slot-major (all fan-slot-0 triangles first)
+so that almost-always-invalid overflow slots land in trailing blocks the
+raster kernels can skip wholesale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zrenderer_tpu.math import zmath as zm
+
+# --- Fixed-point configuration (docs/RASTER_SPEC.md §1-2) -------------------
+SUBPIXEL_BITS = 3
+SUBPIXEL = 1 << SUBPIXEL_BITS  # 8 subpixel positions per axis
+GUARD_PX = 960  # guard band beyond each viewport edge, in pixels
+MAX_SPAN_PX = 4096  # (W + 2*GUARD_PX) must stay <= this (int32 exactness)
+
+# Clip stage static shapes
+CLIP_MAX_VERTS = 8  # 3 verts + 5 planes (near + 4 guard)
+FAN_SLOTS = CLIP_MAX_VERTS - 2  # 6 triangles per input after full clipping
+
+# Attribute channel layout carried through clipping:
+#   0:4   clip-space position (x, y, z, w)
+#   4:8   color rgba
+#   8:10  uv
+#   10:13 normal
+#   13:16 tangent.xyz  (tangent.w dropped into 16 if needed later)
+ATTR_FLOATS = 16
+
+# Triangle setup integer column layout (Tsetup, NI32)
+I_X0, I_Y0, I_X1, I_Y1, I_X2, I_Y2 = range(6)
+I_DX0, I_DY0, I_DX1, I_DY1, I_DX2, I_DY2 = range(6, 12)
+I_BIAS0, I_BIAS1, I_BIAS2 = range(12, 15)
+I_JMIN, I_JMAX, I_IMIN, I_IMAX = range(15, 19)
+I_VALID = 19
+NI32 = 20
+
+# Triangle setup float column layout (Tsetup, NF32)
+F_ZA0, F_ZA1, F_ZA2 = range(3)
+F_RW0, F_RW1, F_RW2 = range(3, 6)
+F_CR0, F_CR1, F_CR2 = range(6, 9)
+F_CG0, F_CG1, F_CG2 = range(9, 12)
+F_CB0, F_CB1, F_CB2 = range(12, 15)
+NF32 = 16
+
+
+def view_proj_from_camera(camera, width: int, height: int) -> np.ndarray:
+    """Per-frame view-projection matrix, exactly the reference's draw() math
+    (zrenderer.zig:261-272): RH look-at toward position+forward, RH
+    perspective with the viewport aspect, then view @ proj."""
+    view = zm.look_at_rh(
+        zm.load_vec3(camera.position),
+        zm.load_vec3(np.asarray(camera.position) + np.asarray(camera.forward)),
+        zm.f32x4(0.0, 1.0, 0.0, 0.0),
+    )
+    zfar = camera.zfar if camera.zfar > camera.znear else 1000.0
+    proj = zm.perspective_fov_rh(
+        camera.yfov, float(width) / float(height), camera.znear, zfar
+    )
+    return zm.mul(view, proj)
+
+
+def transform_positions(xp, positions, matrices, node_ids):
+    """Object -> clip transform of (N, 4) positions by per-vertex node matrix.
+
+    ``matrices``: (M, 4, 4) combined object_to_clip per node (row-vector
+    convention, so out = p @ M).  ``node_ids``: (N,) int32.
+
+    Written as explicitly-associated elementwise multiply-adds instead of
+    einsum/dot so NumPy and XLA round identically (reduction order is part
+    of the pixel-exactness contract, docs/RASTER_SPEC.md §5); on TPU these
+    are VPU ops and XLA fuses them with the downstream clip math.
+    """
+    m = matrices[node_ids]  # (N, 4, 4)
+    p0 = positions[:, 0:1]
+    p1 = positions[:, 1:2]
+    p2 = positions[:, 2:3]
+    p3 = positions[:, 3:4]
+    out = ((p0 * m[:, 0] + p1 * m[:, 1]) + (p2 * m[:, 2] + p3 * m[:, 3]))
+    return out.astype(xp.float32)
+
+
+def assemble_triangles(xp, clip_pos, attrs, tri_vidx):
+    """Gather per-triangle vertex data.
+
+    clip_pos: (N, 4), attrs: (N, ATTR_FLOATS - 4), tri_vidx: (T, 3) int32.
+    Returns (T, 3, ATTR_FLOATS) with clip position in channels 0:4.
+    """
+    tri_clip = clip_pos[tri_vidx]  # (T, 3, 4)
+    tri_attr = attrs[tri_vidx]  # (T, 3, A-4)
+    return xp.concatenate([tri_clip, tri_attr], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Clipping (RASTER_SPEC.md §1.2-1.3)
+# ---------------------------------------------------------------------------
+
+
+def _plane_distance(xp, verts, plane_id, gx, gy):
+    """Signed inside-distance of clip-space verts (..., ATTR) to plane k."""
+    x, y, z, w = verts[..., 0], verts[..., 1], verts[..., 2], verts[..., 3]
+    if plane_id == 0:
+        return z  # near: z >= 0
+    if plane_id == 1:
+        return gx * w - x  # right guard
+    if plane_id == 2:
+        return gx * w + x  # left guard
+    if plane_id == 3:
+        return gy * w - y  # top guard
+    return gy * w + y  # bottom guard
+
+
+def _clip_polygons_against_plane(xp, verts, counts, dist):
+    """One vectorized Sutherland-Hodgman step.
+
+    verts: (T, V, A) polygon vertices, counts: (T,) valid vertex counts,
+    dist: (T, V) signed distances (inside >= 0).  Returns (T, V, A) verts
+    and new counts; vertex budget V = CLIP_MAX_VERTS is never exceeded
+    because each of the 5 planes can add at most one vertex to a triangle.
+    """
+    T, V, A = verts.shape
+    idx = np.arange(V)
+    in_poly = idx[None, :] < counts[:, None]  # (T, V) slot validity
+
+    nxt = (idx + 1) % V
+    # For the last valid vertex, the "next" is vertex 0; emulate by gathering
+    # with wrap then fixing: next index of slot counts-1 must be 0.
+    nxt_idx = xp.where(idx[None, :] + 1 >= counts[:, None], 0, idx[None, :] + 1)
+    d_cur = dist
+    d_nxt = xp.take_along_axis(dist, nxt_idx, axis=1)
+    v_nxt = xp.take_along_axis(verts, nxt_idx[:, :, None], axis=1)
+
+    keep = (d_cur >= 0) & in_poly
+    cross = ((d_cur >= 0) != (d_nxt >= 0)) & in_poly
+
+    # Intersection vertex on each crossing edge: t = d_cur / (d_cur - d_nxt).
+    denom = d_cur - d_nxt
+    safe = xp.where(denom == 0, xp.float32(1.0), denom)
+    t = (d_cur / safe).astype(xp.float32)[..., None]
+    v_is = (verts + t * (v_nxt - verts)).astype(xp.float32)
+
+    # Each input slot emits up to two outputs: [v_cur if keep][v_is if cross].
+    emit0 = keep.astype(xp.int32)
+    emit1 = cross.astype(xp.int32)
+    total = emit0 + emit1
+    ends = xp.cumsum(total, axis=1)
+    starts = ends - total
+    pos0 = starts
+    pos1 = starts + emit0
+    new_counts = ends[:, -1]
+
+    # Non-emitting slots write to the V trash lane (sliced off below); valid
+    # target positions are disjoint by construction of the prefix sums.
+    trash = V
+    tgt0 = xp.where(keep, pos0, trash)
+    tgt1 = xp.where(cross, pos1, trash)
+
+    if xp is np:
+        out = np.zeros((T, V + 1, A), np.float32)
+        rows = np.arange(T)[:, None]
+        out[rows, tgt0] = verts
+        out[rows, tgt1] = v_is
+        out = out[:, :V]
+    else:
+        out = xp.zeros((T, V + 1, A), xp.float32)
+        rows = xp.arange(T)[:, None]
+        out = out.at[rows, tgt0].set(verts)
+        out = out.at[rows, tgt1].set(v_is)
+        out = out[:, :V]
+    return out, new_counts.astype(xp.int32)
+
+
+def clip_triangles(xp, tris, width: int, height: int):
+    """Clip (T, 3, ATTR_FLOATS) triangles against near + 4 guard planes.
+
+    Returns (FAN_SLOTS * T, 3, ATTR_FLOATS) fan triangles in slot-major
+    order (slot j holds fan triangle j of every input) plus a validity mask
+    (FAN_SLOTS * T,).  Slot-major ordering defines the canonical triangle
+    submission order for tie-breaking (docs/RASTER_SPEC.md §3).
+    """
+    T = tris.shape[0]
+    V = CLIP_MAX_VERTS
+    A = tris.shape[-1]
+    gx = xp.float32(1.0 + 2.0 * GUARD_PX / float(width))
+    gy = xp.float32(1.0 + 2.0 * GUARD_PX / float(height))
+
+    verts = xp.concatenate(
+        [tris, xp.zeros((T, V - 3, A), xp.float32)], axis=1
+    )
+    counts = xp.full((T,), 3, xp.int32)
+    for plane in range(5):
+        dist = _plane_distance(xp, verts, plane, gx, gy).astype(xp.float32)
+        verts, counts = _clip_polygons_against_plane(xp, verts, counts, dist)
+
+    # Fan: triangle j = (v0, v_{j+1}, v_{j+2}), valid while j+2 < count.
+    out = []
+    valid = []
+    for j in range(FAN_SLOTS):
+        a = verts[:, 0]
+        b = verts[:, min(j + 1, V - 1)]
+        c = verts[:, min(j + 2, V - 1)]
+        out.append(xp.stack([a, b, c], axis=1))
+        valid.append(counts >= j + 3)
+    fan = xp.concatenate(out, axis=0)  # slot-major: (FAN_SLOTS*T, 3, A)
+    fan_valid = xp.concatenate(valid, axis=0)
+    return fan, fan_valid
+
+
+# ---------------------------------------------------------------------------
+# Snap + triangle setup (RASTER_SPEC.md §1.4-§3)
+# ---------------------------------------------------------------------------
+
+
+def setup_triangles(xp, tris, valid, width: int, height: int):
+    """Viewport transform, subpixel snap, facing/cull, edge + interpolation
+    setup.  tris: (T, 3, ATTR_FLOATS) post-clip, valid: (T,).
+
+    Returns (tri_i32 (T, NI32) int32, tri_f32 (T, NF32) float32).
+    Culled/invalid triangles get an empty bbox (jmin > jmax) and valid=0.
+    """
+    assert width + 2 * GUARD_PX <= MAX_SPAN_PX, "viewport too wide for 1/8 subpixel"
+    f32 = xp.float32
+    i32 = xp.int32
+
+    pos = tris[..., 0:4]
+    # w > 0 after near clipping for valid triangles; guard the padding slots
+    # so their garbage stays finite (they are masked out via `valid` below).
+    w = xp.where(pos[..., 3] > 0, pos[..., 3], f32(1.0))
+    inv_w = (f32(1.0) / w).astype(f32)
+    ndc_x = pos[..., 0] * inv_w
+    ndc_y = pos[..., 1] * inv_w
+    ndc_z = pos[..., 2] * inv_w
+
+    half_w = f32(0.5 * width)
+    half_h = f32(0.5 * height)
+    xs = (ndc_x + f32(1.0)) * half_w
+    ys = (f32(1.0) - ndc_y) * half_h
+
+    # Subpixel snap: floor(x * 8 + 0.5) in f32 then to int32 (exact: *8 is a
+    # power-of-two scale).  Clamp to the guard window first so that
+    # pathological f32 values cannot overflow the int conversion.
+    lo = f32(-GUARD_PX * SUBPIXEL)
+    hix = f32((width + GUARD_PX) * SUBPIXEL)
+    hiy = f32((height + GUARD_PX) * SUBPIXEL)
+    X = xp.clip(xp.floor(xs * f32(SUBPIXEL) + f32(0.5)), lo, hix).astype(i32)
+    Y = xp.clip(xp.floor(ys * f32(SUBPIXEL) + f32(0.5)), lo, hiy).astype(i32)
+
+    x0, x1, x2 = X[:, 0], X[:, 1], X[:, 2]
+    y0, y1, y2 = Y[:, 0], Y[:, 1], Y[:, 2]
+
+    # Facing: FrontCounterClockwise=TRUE + y-down screen coords means front
+    # faces have negative doubled area (docs/RASTER_SPEC.md §2).
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    front = area2 < 0
+    alive = valid & front  # back-face + degenerate (area2 >= 0) culled
+
+    # Canonicalize: swap v1 <-> v2 so interiors have positive edge values.
+    x1, x2 = x2, x1
+    y1, y2 = y2, y1
+    varr = xp.stack(
+        [tris[:, 0], tris[:, 2], tris[:, 1]], axis=1
+    )  # swapped attribute order
+    area2 = -area2
+
+    # Edge vectors for edge k = (k1 -> k2), (k1, k2) = ((1,2), (2,0), (0,1)).
+    dx0, dy0 = x2 - x1, y2 - y1
+    dx1, dy1 = x0 - x2, y0 - y2
+    dx2, dy2 = x1 - x0, y1 - y0
+
+    def bias(dx, dy):
+        top_left = (dy < 0) | ((dy == 0) & (dx > 0))
+        return xp.where(top_left, i32(0), i32(1))
+
+    # Pixel-space bbox: pixel centers at SUBPIXEL*j + SUBPIXEL//2.
+    half = SUBPIXEL // 2
+    xmin = xp.minimum(xp.minimum(x0, x1), x2)
+    xmax = xp.maximum(xp.maximum(x0, x1), x2)
+    ymin = xp.minimum(xp.minimum(y0, y1), y2)
+    ymax = xp.maximum(xp.maximum(y0, y1), y2)
+    jmin = xp.maximum((xmin + (SUBPIXEL - 1 - half)) >> SUBPIXEL_BITS, 0)
+    jmax = xp.minimum((xmax - half) >> SUBPIXEL_BITS, width - 1)
+    imin = xp.maximum((ymin + (SUBPIXEL - 1 - half)) >> SUBPIXEL_BITS, 0)
+    imax = xp.minimum((ymax - half) >> SUBPIXEL_BITS, height - 1)
+    jmin = xp.where(alive, jmin, 1).astype(i32)
+    jmax = xp.where(alive, jmax, 0).astype(i32)
+    imin = xp.where(alive, imin, 1).astype(i32)
+    imax = xp.where(alive, imax, 0).astype(i32)
+
+    tri_i32 = xp.stack(
+        [
+            x0, y0, x1, y1, x2, y2,
+            dx0, dy0, dx1, dy1, dx2, dy2,
+            bias(dx0, dy0), bias(dx1, dy1), bias(dx2, dy2),
+            jmin, jmax, imin, imax,
+            alive.astype(i32),
+        ],
+        axis=1,
+    ).astype(i32)
+
+    # Interpolation constants (canonical vertex order).
+    safe_area = xp.where(area2 > 0, area2, 1)
+    inv_area = (f32(1.0) / safe_area.astype(f32)).astype(f32)
+    wc = xp.where(alive[:, None], varr[..., 3], f32(1.0))
+    rw = (f32(1.0) / wc).astype(f32)
+    zndc = varr[..., 2] * rw
+    za = zndc * inv_area[:, None]
+    col = varr[..., 4:7]  # rgb
+    cw = col * rw[..., None]
+
+    tri_f32 = xp.concatenate(
+        [
+            za,  # F_ZA*
+            rw,  # F_RW*
+            cw[..., 0],  # F_CR*
+            cw[..., 1],
+            cw[..., 2],
+            xp.zeros((tris.shape[0], NF32 - 15), f32),
+        ],
+        axis=1,
+    ).astype(f32)
+    return tri_i32, tri_f32
+
+
+def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
+                      width: int, height: int):
+    """Full shared geometry stage: transform, assemble, clip, setup.
+
+    Returns (tri_i32, tri_f32) of static shape (FAN_SLOTS * T, ...).
+    """
+    clip_pos = transform_positions(xp, positions, matrices, node_ids)
+    tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
+    fan, fan_valid = clip_triangles(xp, tris, width, height)
+    return setup_triangles(xp, fan, fan_valid, width, height)

@@ -1,0 +1,134 @@
+"""Pure-XLA rasterizer: the whole frame as one fused jnp program.
+
+Brute-force formulation (every triangle tested against every pixel) used as
+(a) the always-available device fallback, (b) a differential-testing backend
+between the CPU oracle and the Pallas kernels, and (c) the baseline the
+tiled Pallas kernel must beat.  Arithmetic is formula-identical to
+raster_ref/raster_cpu.py (docs/RASTER_SPEC.md §2-§4).
+
+The triangle loop is a lax.fori_loop carrying the five per-pixel state
+planes (z, r/g/b numerators, 1/w denominator); iteration order is submission
+order so strict-less depth testing reproduces D3D LESS tie behaviour.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from zrenderer_tpu.ops import geometry as g
+
+CLEAR_DEPTH = 1.0
+
+
+def rasterize_setup_xla(tri_i32, tri_f32, width: int, height: int):
+    """Rasterize pre-setup triangles; returns (rgba f32 (H,W,4), depth)."""
+    half = g.SUBPIXEL // 2
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) * g.SUBPIXEL + half
+    )
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (height, width), 1) * g.SUBPIXEL + half
+    )
+
+    num_tris = tri_i32.shape[0]
+
+    def body(t, state):
+        zbuf, nr, ng, nb, den = state
+        ti = tri_i32[t]
+        tf = tri_f32[t]
+        x0, y0, x1, y1, x2, y2 = ti[0], ti[1], ti[2], ti[3], ti[4], ti[5]
+        dx0, dy0, dx1, dy1, dx2, dy2 = ti[6], ti[7], ti[8], ti[9], ti[10], ti[11]
+        b0, b1, b2 = ti[12], ti[13], ti[14]
+        valid = ti[g.I_VALID] > 0
+
+        e0 = dx0 * (py - y1) - dy0 * (px - x1)
+        e1 = dx1 * (py - y2) - dy1 * (px - x2)
+        e2 = dx2 * (py - y0) - dy2 * (px - x0)
+        cov = (e0 >= b0) & (e1 >= b1) & (e2 >= b2) & valid
+
+        ef0 = e0.astype(jnp.float32)
+        ef1 = e1.astype(jnp.float32)
+        ef2 = e2.astype(jnp.float32)
+        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        ok = cov & (z >= 0.0) & (z < zbuf)
+
+        zbuf = jnp.where(ok, z, zbuf)
+        den = jnp.where(
+            ok, ef0 * tf[g.F_RW0] + ef1 * tf[g.F_RW1] + ef2 * tf[g.F_RW2], den
+        )
+        nr = jnp.where(
+            ok, ef0 * tf[g.F_CR0] + ef1 * tf[g.F_CR1] + ef2 * tf[g.F_CR2], nr
+        )
+        ng = jnp.where(
+            ok, ef0 * tf[g.F_CG0] + ef1 * tf[g.F_CG1] + ef2 * tf[g.F_CG2], ng
+        )
+        nb = jnp.where(
+            ok, ef0 * tf[g.F_CB0] + ef1 * tf[g.F_CB1] + ef2 * tf[g.F_CB2], nb
+        )
+        return zbuf, nr, ng, nb, den
+
+    init = (
+        jnp.full((height, width), CLEAR_DEPTH, jnp.float32),
+        jnp.zeros((height, width), jnp.float32),
+        jnp.zeros((height, width), jnp.float32),
+        jnp.zeros((height, width), jnp.float32),
+        jnp.zeros((height, width), jnp.float32),
+    )
+    zbuf, nr, ng, nb, den = jax.lax.fori_loop(0, num_tris, body, init)
+    return resolve(zbuf, nr, ng, nb, den)
+
+
+def resolve(zbuf, nr, ng, nb, den, clear_rgb=(0.0, 0.0, 0.0)):
+    """Latched numerators -> final RGBA (one perspective divide per pixel)."""
+    covered = den > 0
+    safe = jnp.where(covered, den, jnp.float32(1.0))
+    inv = jnp.float32(1.0) / safe
+    rgba = jnp.stack(
+        [
+            jnp.where(covered, nr * inv, jnp.float32(clear_rgb[0])),
+            jnp.where(covered, ng * inv, jnp.float32(clear_rgb[1])),
+            jnp.where(covered, nb * inv, jnp.float32(clear_rgb[2])),
+            jnp.full(zbuf.shape, 1.0, jnp.float32),
+        ],
+        axis=-1,
+    )
+    return rgba, zbuf
+
+
+def pack_u8(rgba_f32):
+    """RASTER_SPEC.md §4 u8 packing (identical to the CPU oracle's)."""
+    c = jnp.clip(rgba_f32, 0.0, 1.0)
+    return jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5)).astype(jnp.uint8)
+
+
+def render_setup_to_u8(tri_i32, tri_f32, width: int, height: int):
+    rgba, depth = rasterize_setup_xla(tri_i32, tri_f32, width, height)
+    return pack_u8(rgba), depth
+
+
+def render_frame_xla(positions, attrs, tri_vidx, matrices, node_ids,
+                     width: int, height: int):
+    """Full frame: geometry pipeline + brute-force raster, jit-friendly.
+
+    ``matrices`` are per-draw object_to_clip (object_to_world @ view_proj),
+    traced per frame so one compilation serves a dynamic scene.
+    """
+    tri_i32, tri_f32 = g.geometry_pipeline(
+        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height
+    )
+    return render_setup_to_u8(tri_i32, tri_f32, width, height)
+
+
+# Module-level jitted entry points: one compilation per distinct shape set
+# (the "pipeline cache" discipline — zd3d12 caches PSOs by content hash,
+# zd3d12.zig:1007-1012; here the jit cache is keyed by shapes + static dims).
+setup_pipeline_jit = partial(jax.jit, static_argnums=(5, 6))(
+    lambda p, a, t, m, n, width, height: g.geometry_pipeline(
+        jnp, p, a, t, m, n, width, height
+    )
+)
+render_setup_jit = partial(jax.jit, static_argnums=(2, 3))(render_setup_to_u8)
+render_frame_jit = partial(jax.jit, static_argnums=(5, 6))(render_frame_xla)
