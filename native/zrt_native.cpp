@@ -1,0 +1,266 @@
+// zrt_native — native runtime library for zrenderer-tpu.
+//
+// The reference links vendored C/C++ for its data path: cgltf (glTF parse),
+// meshoptimizer (index/vertex-cache optimization), stb_image (image decode)
+// — see SURVEY.md §2.2.  This library is the TPU-era equivalent, written
+// from scratch: fast binary asset IO, mesh optimization (index
+// deduplication, FIFO-cache-aware triangle reordering, LOD index
+// generation groundwork), and PNG encode for high-rate frame dumping.
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (zrenderer_tpu/utils/native.py).
+//
+// Build: cd native && make    (produces libzrt.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <unordered_map>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Binary asset IO (the scene.bin / meshes.bin fast path)
+// ---------------------------------------------------------------------------
+
+// Validates a meshes.bin header and returns counts without loading data.
+// Returns 0 on success, negative error code otherwise.
+int zrt_meshes_probe(const uint8_t* data, uint64_t size,
+                     uint32_t* num_meshes, uint32_t* num_vertices_f32,
+                     uint32_t* num_indices) {
+    if (size < 20) return -1;
+    uint32_t magic, nm, dbs, isz, vsz;
+    memcpy(&magic, data + 0, 4);
+    memcpy(&nm, data + 4, 4);
+    memcpy(&dbs, data + 8, 4);
+    memcpy(&isz, data + 12, 4);
+    memcpy(&vsz, data + 16, 4);
+    if (magic != 0x12345678u) return -2;
+    if (dbs != 20 + nm * 148u) return -3;
+    if ((uint64_t)dbs + vsz + isz > size) return -4;
+    *num_meshes = nm;
+    *num_vertices_f32 = vsz / 4;
+    *num_indices = isz / 4;
+    return 0;
+}
+
+// Copies the vertex/index blocks out of a meshes.bin blob (zero parse
+// overhead beyond the header; the caller allocates from the probe sizes).
+int zrt_meshes_load(const uint8_t* data, uint64_t size,
+                    float* vertices_out, uint32_t* indices_out) {
+    uint32_t nm, nvf, ni;
+    int rc = zrt_meshes_probe(data, size, &nm, &nvf, &ni);
+    if (rc != 0) return rc;
+    uint64_t off = 20 + (uint64_t)nm * 148;
+    memcpy(vertices_out, data + off, (uint64_t)nvf * 4);
+    memcpy(indices_out, data + off + (uint64_t)nvf * 4, (uint64_t)ni * 4);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Mesh optimization (the meshoptimizer-equivalent algorithms)
+// ---------------------------------------------------------------------------
+
+// Index generation: deduplicate identical vertices (bytewise) and remap the
+// index buffer — the indexgenerator capability.  Returns the deduplicated
+// vertex count; remap_out[i] = new index of original vertex i.
+uint32_t zrt_generate_vertex_remap(const float* vertices,
+                                   uint32_t vertex_count,
+                                   uint32_t floats_per_vertex,
+                                   uint32_t* remap_out) {
+    struct KeyHash {
+        size_t operator()(const std::vector<uint32_t>& k) const {
+            size_t h = 1469598103934665603ull;
+            for (uint32_t w : k) { h ^= w; h *= 1099511628211ull; }
+            return h;
+        }
+    };
+    std::unordered_map<std::vector<uint32_t>, uint32_t, KeyHash> seen;
+    seen.reserve(vertex_count * 2);
+    uint32_t next = 0;
+    std::vector<uint32_t> key(floats_per_vertex);
+    for (uint32_t i = 0; i < vertex_count; i++) {
+        memcpy(key.data(), vertices + (uint64_t)i * floats_per_vertex,
+               floats_per_vertex * 4);
+        auto it = seen.find(key);
+        if (it == seen.end()) {
+            seen.emplace(key, next);
+            remap_out[i] = next++;
+        } else {
+            remap_out[i] = it->second;
+        }
+    }
+    return next;
+}
+
+// Apply a remap: compact vertices and rewrite indices in place.
+void zrt_apply_remap(const float* vertices_in, float* vertices_out,
+                     uint32_t vertex_count, uint32_t floats_per_vertex,
+                     const uint32_t* remap, uint32_t* indices,
+                     uint32_t index_count) {
+    for (uint32_t i = 0; i < vertex_count; i++) {
+        memcpy(vertices_out + (uint64_t)remap[i] * floats_per_vertex,
+               vertices_in + (uint64_t)i * floats_per_vertex,
+               floats_per_vertex * 4);
+    }
+    for (uint32_t i = 0; i < index_count; i++) indices[i] = remap[indices[i]];
+}
+
+// Vertex-cache-aware triangle reordering (FIFO cache score, greedy):
+// the vcacheoptimizer capability.  Orders triangles to maximize re-use of
+// recently used vertices.  In-place on the index buffer.
+void zrt_optimize_vertex_cache(uint32_t* indices, uint32_t index_count,
+                               uint32_t vertex_count, uint32_t cache_size) {
+    if (cache_size == 0) cache_size = 32;
+    uint32_t tri_count = index_count / 3;
+    if (tri_count == 0) return;
+
+    // Build vertex -> triangle adjacency.
+    std::vector<uint32_t> valence(vertex_count, 0);
+    for (uint32_t i = 0; i < index_count; i++) valence[indices[i]]++;
+    std::vector<uint32_t> adj_offset(vertex_count + 1, 0);
+    for (uint32_t v = 0; v < vertex_count; v++)
+        adj_offset[v + 1] = adj_offset[v] + valence[v];
+    std::vector<uint32_t> adj(index_count);
+    {
+        std::vector<uint32_t> fill(vertex_count, 0);
+        for (uint32_t t = 0; t < tri_count; t++)
+            for (int k = 0; k < 3; k++) {
+                uint32_t v = indices[t * 3 + k];
+                adj[adj_offset[v] + fill[v]++] = t;
+            }
+    }
+
+    std::vector<uint8_t> emitted(tri_count, 0);
+    std::vector<int32_t> cache_pos(vertex_count, -1);
+    std::vector<uint32_t> fifo;           // FIFO cache of vertices
+    std::vector<uint32_t> out;
+    out.reserve(index_count);
+    std::vector<uint32_t> live(valence);  // remaining un-emitted uses
+
+    auto tri_score = [&](uint32_t t) -> int {
+        int in_cache = 0;
+        for (int k = 0; k < 3; k++)
+            if (cache_pos[indices[t * 3 + k]] >= 0) in_cache++;
+        return in_cache;
+    };
+
+    uint32_t emitted_count = 0;
+    uint32_t cursor = 0;  // scan cursor for cold restarts
+    while (emitted_count < tri_count) {
+        int best = -1;
+        int best_score = -1;
+        // Prefer triangles touching cached vertices.
+        for (uint32_t ci = 0; ci < fifo.size(); ci++) {
+            uint32_t v = fifo[ci];
+            for (uint32_t a = adj_offset[v]; a < adj_offset[v + 1]; a++) {
+                uint32_t t = adj[a];
+                if (emitted[t]) continue;
+                int s = tri_score(t);
+                if (s > best_score) { best_score = s; best = (int)t; }
+            }
+        }
+        if (best < 0) {  // cold restart: next un-emitted triangle
+            while (emitted[cursor]) cursor++;
+            best = (int)cursor;
+        }
+        emitted[best] = 1;
+        emitted_count++;
+        for (int k = 0; k < 3; k++) {
+            uint32_t v = indices[best * 3 + k];
+            out.push_back(v);
+            live[v]--;
+            if (cache_pos[v] < 0) {
+                fifo.push_back(v);
+                cache_pos[v] = 1;
+                if (fifo.size() > cache_size) {
+                    cache_pos[fifo.front()] = -1;
+                    fifo.erase(fifo.begin());
+                }
+            }
+        }
+    }
+    memcpy(indices, out.data(), index_count * 4);
+}
+
+// Average cache miss rate (ACMR) of an index buffer for a FIFO cache —
+// the vcacheanalyzer capability.  Returns misses per triangle * 1000.
+uint32_t zrt_analyze_vertex_cache(const uint32_t* indices,
+                                  uint32_t index_count,
+                                  uint32_t vertex_count,
+                                  uint32_t cache_size) {
+    if (cache_size == 0) cache_size = 32;
+    std::vector<int64_t> last_use(vertex_count, -1);
+    int64_t time = 0;
+    uint64_t misses = 0;
+    for (uint32_t i = 0; i < index_count; i++) {
+        uint32_t v = indices[i];
+        if (last_use[v] < 0 || time - last_use[v] > (int64_t)cache_size) {
+            misses++;
+            last_use[v] = time;
+            time++;
+        }
+        // hits do not advance the FIFO
+    }
+    uint32_t tris = index_count / 3;
+    return tris ? (uint32_t)(misses * 1000 / tris) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// PNG encode (frame dump fast path; stb_image-capability counterpart)
+// ---------------------------------------------------------------------------
+
+static void png_chunk(std::vector<uint8_t>& out, const char tag[4],
+                      const uint8_t* payload, uint32_t len) {
+    uint8_t hdr[8] = {
+        (uint8_t)(len >> 24), (uint8_t)(len >> 16),
+        (uint8_t)(len >> 8), (uint8_t)len,
+        (uint8_t)tag[0], (uint8_t)tag[1], (uint8_t)tag[2], (uint8_t)tag[3],
+    };
+    out.insert(out.end(), hdr, hdr + 8);
+    if (len) out.insert(out.end(), payload, payload + len);
+    uint32_t crc = crc32(0, out.data() + out.size() - len - 4, len + 4);
+    uint8_t c[4] = {(uint8_t)(crc >> 24), (uint8_t)(crc >> 16),
+                    (uint8_t)(crc >> 8), (uint8_t)crc};
+    out.insert(out.end(), c, c + 4);
+}
+
+// Encode (h, w, 4) RGBA8 into a PNG in caller-provided buffer.
+// Returns the encoded size, or 0 if out_capacity is too small.
+uint64_t zrt_encode_png(const uint8_t* rgba, uint32_t width, uint32_t height,
+                        uint8_t* out, uint64_t out_capacity) {
+    std::vector<uint8_t> raw((uint64_t)height * (width * 4 + 1));
+    for (uint32_t y = 0; y < height; y++) {
+        raw[(uint64_t)y * (width * 4 + 1)] = 0;  // filter: none
+        memcpy(&raw[(uint64_t)y * (width * 4 + 1) + 1],
+               rgba + (uint64_t)y * width * 4, width * 4);
+    }
+    uLongf comp_cap = compressBound(raw.size());
+    std::vector<uint8_t> comp(comp_cap);
+    if (compress2(comp.data(), &comp_cap, raw.data(), raw.size(), 6) != Z_OK)
+        return 0;
+
+    std::vector<uint8_t> png;
+    static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A};
+    png.insert(png.end(), sig, sig + 8);
+    uint8_t ihdr[13] = {
+        (uint8_t)(width >> 24), (uint8_t)(width >> 16),
+        (uint8_t)(width >> 8), (uint8_t)width,
+        (uint8_t)(height >> 24), (uint8_t)(height >> 16),
+        (uint8_t)(height >> 8), (uint8_t)height,
+        8, 6, 0, 0, 0,  // 8-bit RGBA
+    };
+    png_chunk(png, "IHDR", ihdr, 13);
+    png_chunk(png, "IDAT", comp.data(), (uint32_t)comp_cap);
+    png_chunk(png, "IEND", nullptr, 0);
+    if (png.size() > out_capacity) return 0;
+    memcpy(out, png.data(), png.size());
+    return png.size();
+}
+
+// Library version/sanity probe.
+uint32_t zrt_version() { return 10; }
+
+}  // extern "C"

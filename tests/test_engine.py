@@ -1,0 +1,140 @@
+"""Engine tests: renderer end-to-end (XLA backend on CPU), pools, stats,
+config, profiling shims."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from zrenderer_tpu.engine.config import RenderConfig
+from zrenderer_tpu.engine.pools import Handle, PipelineCache, ResourcePool
+from zrenderer_tpu.engine.renderer import Renderer
+from zrenderer_tpu.engine.stats import FrameStats
+from zrenderer_tpu.profiling import ztracy
+from zrenderer_tpu.scene.procedural import make_test_scene
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    config = RenderConfig(width=192, height=108, backend="xla", tri_align=64)
+    r = Renderer(config)
+    scene, mesh_data = make_test_scene()
+    r.load_scene(scene, mesh_data)
+    return r
+
+
+def test_render_frame_end_to_end(renderer):
+    img, depth = renderer.render_and_read()
+    assert img.shape == (108, 192, 4) and img.dtype == np.uint8
+    assert depth.shape == (108, 192)
+    coverage = (depth < 1.0).mean()
+    assert 0.2 < coverage < 0.9
+    assert (img[..., 3] == 255).all()
+
+
+def test_render_matches_cpu_oracle(renderer):
+    from zrenderer_tpu.raster_ref import render_scene_cpu
+
+    scene, mesh_data = make_test_scene()
+    img_cpu, depth_cpu = render_scene_cpu(scene, mesh_data, 192, 108)
+    img, depth = renderer.render_and_read()
+    np.testing.assert_array_equal(img, img_cpu)
+
+
+def test_pipeline_cache_reuse(renderer):
+    misses_before = renderer.pipelines.misses
+    renderer.render_and_read()
+    renderer.render_and_read()
+    assert renderer.pipelines.misses == misses_before
+    assert renderer.pipelines.hits >= 2
+
+
+def test_dynamic_transforms_no_recompile(renderer):
+    """Per-frame transforms are traced args: moving a node must not
+    recompile (SURVEY.md §7.4 item 4)."""
+    misses_before = renderer.pipelines.misses
+    transforms = renderer.flat.node_to_world.copy()
+    transforms[1][3, 0] += 1.5  # move the second cube
+    img_moved, _ = renderer.render_and_read(transforms=transforms)
+    img_home, _ = renderer.render_and_read()
+    assert renderer.pipelines.misses == misses_before
+    assert (img_moved != img_home).any()
+
+
+def test_camera_override(renderer):
+    from zrenderer_tpu.scene.scene import Camera
+
+    cam = Camera(
+        position=np.array([0, 0, 30], np.float32),
+        forward=np.array([0, 0, -1], np.float32),
+        yfov=0.4, znear=0.1, zfar=100.0,
+    )
+    img_far, depth_far = renderer.render_and_read(camera=cam)
+    cov_far = (depth_far < 1.0).mean()
+    img_home, depth_home = renderer.render_and_read()
+    assert cov_far < (depth_home < 1.0).mean()  # scene smaller from afar
+
+
+# -- pools -------------------------------------------------------------------
+
+
+def test_resource_pool_generational_handles():
+    pool = ResourcePool(capacity=4)
+    h1 = pool.add("a")
+    assert pool.is_valid(h1) and pool.lookup(h1) == "a"
+    pool.destroy(h1)
+    assert not pool.is_valid(h1) and pool.lookup(h1) is None
+    h2 = pool.add("b")
+    assert h2.index == h1.index and h2.generation != h1.generation
+    assert not pool.is_valid(h1)  # stale handle stays invalid
+
+
+def test_resource_pool_exhaustion():
+    pool = ResourcePool(capacity=2)
+    pool.add(1)
+    pool.add(2)
+    with pytest.raises(RuntimeError):
+        pool.add(3)
+
+
+def test_pipeline_cache_dedup():
+    cache = PipelineCache()
+    built = []
+    fn = cache.get_or_create("k", lambda: built.append(1) or "exe")
+    fn2 = cache.get_or_create("k", lambda: built.append(1) or "exe2")
+    assert fn == fn2 == "exe" and len(built) == 1
+    assert cache.hits == 1 and cache.misses == 1
+
+
+def test_null_handle():
+    assert Handle(0, 0).is_null()
+    pool = ResourcePool(capacity=1)
+    assert not pool.is_valid(Handle(0, 0))
+
+
+# -- stats / config / profiling ----------------------------------------------
+
+
+def test_frame_stats_accumulates():
+    stats = FrameStats("t")
+    for _ in range(3):
+        stats.update(triangles=10, pixels=100)
+    line = stats.format_line()
+    assert "FPS" in line and "Mtri/s" in line
+
+
+def test_config_padding():
+    c = RenderConfig(width=1920, height=1080)
+    assert c.pad_width == 1920 and c.pad_height == 1088
+    assert c.pad_width % 128 == 0 and c.pad_height % 32 == 0
+    assert c.content_hash() != c.with_(width=640).content_hash()
+
+
+def test_ztracy_zones():
+    with ztracy.zone("outer") as z:
+        assert z.name == "outer"
+    z = ztracy.zone_nc("colored", color=0xFF0000)
+    z.end()
+    before = ztracy.frame_index()
+    ztracy.frame_mark()
+    assert ztracy.frame_index() == before + 1

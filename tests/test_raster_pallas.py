@@ -32,7 +32,7 @@ def test_pallas_interpret_bit_exact_parity():
     u8_cpu = raster_cpu.pack_u8(img_cpu)
 
     color, depth = rp.rasterize_setup_pallas(
-        jnp.asarray(ti.T), jnp.asarray(tf.T), W, H, interpret=True
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     u8_pl = np.asarray(rp.unpack_rgba8(color))
 

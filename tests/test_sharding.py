@@ -1,0 +1,67 @@
+"""Multi-chip tile+geometry sharding on the virtual 8-device CPU mesh:
+the sharded frame must match the single-device render exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from zrenderer_tpu.engine.upload import flatten_scene
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_xla
+from zrenderer_tpu.parallel.tiles import make_sharded_frame
+from zrenderer_tpu.scene.procedural import make_test_scene
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+W, H = 128, 64
+
+
+def _inputs():
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    return flat, matrices
+
+
+def test_sharded_frame_matches_single_device():
+    flat, matrices = _inputs()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(mesh, W, H, use_pallas=False)
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba_sh, depth_sh = frame_fn(*args)
+    rgba_sh = np.asarray(rgba_sh)
+    depth_sh = np.asarray(depth_sh)
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    assert (np.asarray(depth_1) < 1).mean() > 0.2
+    np.testing.assert_array_equal(depth_sh.view(np.uint32),
+                                  np.asarray(depth_1).view(np.uint32))
+    np.testing.assert_array_equal(rgba_sh, np.asarray(rgba_1))
+
+
+def test_sharded_output_is_band_sharded():
+    flat, matrices = _inputs()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(mesh, W, H, use_pallas=False)
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba, depth = frame_fn(*args)
+    # Output really is sharded by row band across the mesh.
+    assert len(rgba.sharding.device_set) == 4
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

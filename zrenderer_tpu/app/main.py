@@ -1,0 +1,113 @@
+"""Headless renderer application — the zrenderer.zig main() analog.
+
+Same flow as the reference (zrenderer.zig:364-395): init (load scene bins,
+create device context, upload geometry), then a frame loop of
+update (stats + scene outliner) -> draw -> present.  On a TPU host there is
+no interactive window; frames are written as PNGs (or discarded when
+benchmarking) and the scene outliner + frame stats print to the console
+(and render into the 2D overlay pass when enabled).
+
+    python -m zrenderer_tpu.app.main --scene content/scenes/test_scene \
+        --width 1920 --height 1080 --frames 60 --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from zrenderer_tpu.engine.config import RenderConfig
+from zrenderer_tpu.engine.renderer import Renderer
+from zrenderer_tpu.scene.mesh import MeshData
+from zrenderer_tpu.scene.scene import Scene
+from zrenderer_tpu.utils.png import write_png
+
+log = logging.getLogger("zrenderer.app")
+
+
+def scene_outliner(scene) -> str:
+    """The imgui 'Scene Outliner' panel (zrenderer.zig:246-254), as text."""
+    lines = ["Scene Outliner"]
+    for node in scene.nodes:
+        lines.append(f"  * {node.name}")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="zrenderer-tpu")
+    parser.add_argument(
+        "--scene", default="content/scenes/test_scene",
+        help="folder containing scene.bin + meshes.bin",
+    )
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--out", default=None, help="PNG output folder")
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "pallas", "xla"])
+    parser.add_argument("--overlay", action="store_true",
+                        help="rasterize the stats/outliner overlay into frames")
+    parser.add_argument("--debug", action="store_true",
+                        help="interpret-mode kernels (the debug layer)")
+    parser.add_argument("--trace", default=None,
+                        help="capture a jax.profiler trace to this dir")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
+
+    scene = Scene.load(os.path.join(args.scene, "scene.bin"))
+    mesh_data = MeshData.load(os.path.join(args.scene, "meshes.bin"))
+
+    config = RenderConfig(
+        width=args.width, height=args.height, backend=args.backend,
+        debug=args.debug,
+    )
+    renderer = Renderer(config)
+    renderer.load_scene(scene, mesh_data)
+
+    print(scene_outliner(scene))
+
+    overlay = None
+    if args.overlay:
+        from zrenderer_tpu.app.overlay_ui import OverlayUI
+
+        overlay = OverlayUI(config.width, config.height)
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    def run_frames():
+        for frame_i in range(args.frames):
+            renderer.render()
+            if not args.out and overlay is None:
+                renderer.present()  # fence only; frame stays on device
+                if frame_i % 30 == 0 or frame_i == args.frames - 1:
+                    print(renderer.stats.format_line())
+                continue
+            img, depth = renderer.read_frame()
+            if overlay is not None:
+                img = overlay.compose(
+                    img,
+                    [renderer.stats.format_line()] + scene_outliner(scene).split("\n"),
+                )
+            if args.out:
+                write_png(os.path.join(args.out, f"frame_{frame_i:04d}.png"), img)
+            if frame_i % 30 == 0 or frame_i == args.frames - 1:
+                print(renderer.stats.format_line())
+
+    if args.trace:
+        from zrenderer_tpu.profiling import ztracy
+
+        with ztracy.trace(args.trace):
+            run_frames()
+    else:
+        run_frames()
+
+    renderer.finish_gpu_commands()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""Renderer configuration.
+
+The reference's configuration is compile-time build options + hardcoded
+constants (SURVEY.md §5.6: window 1920x1080 at zrenderer.zig:30-31, debug
+flags in build.zig:15-35).  Here it is a runtime dataclass whose content
+hash keys the pipeline cache (the analog of zd3d12's Adler32 PSO cache,
+zd3d12.zig:1007-1012).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field, replace
+
+from zrenderer_tpu.ops.raster_pallas import TILE_H, TILE_W
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1920
+    height: int = 1080
+    backend: str = "auto"  # "pallas" | "xla" | "auto" (pallas on TPU)
+    clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
+    debug: bool = False  # interpret-mode Pallas + checkify (the debug layer)
+    profile: bool = False  # jax.profiler trace zones
+    vert_align: int = 128
+    tri_align: int = 256
+    readback: bool = True  # device->host copy of each frame ("present")
+
+    @property
+    def pad_width(self) -> int:
+        return _round_up(self.width, TILE_W)
+
+    @property
+    def pad_height(self) -> int:
+        return _round_up(self.height, TILE_H)
+
+    def content_hash(self) -> int:
+        """Stable content hash for pipeline-cache keys."""
+        return zlib.adler32(repr(self).encode())
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)

@@ -1,0 +1,194 @@
+"""The Renderer — the zd3d12.GraphicsContext + frame-loop analog, reshaped
+for TPU (SURVEY.md §7.2 item 5).
+
+Mapping from the reference's device layer:
+
+* GraphicsContext.init (zd3d12.zig:82-583)  -> Renderer(config): pick the
+  JAX device, build the pipeline cache and resource pool.
+* VB/IB upload + barriers (zrenderer.zig:131-209) -> load_scene(): flatten
+  the scene once and jax.device_put the arrays.
+* command list + PSO + per-draw root constants (zrenderer.zig:257-362) ->
+  one jitted frame function; per-frame constants (object_to_clip matrices)
+  are traced arguments, so one compilation serves every frame.
+* beginFrame/endFrame fence pacing (zd3d12.zig:622-675) -> JAX async
+  dispatch: `render()` returns after enqueuing; `present()` (device->host
+  readback of the previous frame) is the swapchain flip, overlapping the
+  next frame's compute.
+* PSO cache (zd3d12.zig:1007-1012) -> PipelineCache keyed by
+  (backend, shapes, resolution, config hash).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zrenderer_tpu.engine.config import RenderConfig
+from zrenderer_tpu.engine.pools import PipelineCache, ResourcePool
+from zrenderer_tpu.engine.stats import FrameStats
+from zrenderer_tpu.engine.upload import FlatScene, flatten_scene
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_pallas, raster_xla
+from zrenderer_tpu.profiling import ztracy
+
+log = logging.getLogger("zrenderer.engine")
+
+
+class Renderer:
+    def __init__(self, config: RenderConfig | None = None):
+        self.config = config or RenderConfig()
+        self.device = jax.devices()[0]
+        self.backend = self._resolve_backend()
+        self.pipelines = PipelineCache()
+        self.resources = ResourcePool(name="device-array")
+        self.stats = FrameStats()
+        self.flat: FlatScene | None = None
+        self._device_buffers = {}
+        self._pending = None  # last enqueued frame (async dispatch)
+        log.info(
+            "Renderer on %s (platform=%s, backend=%s)",
+            self.device,
+            self.device.platform,
+            self.backend,
+        )
+
+    def _resolve_backend(self) -> str:
+        if self.config.backend != "auto":
+            return self.config.backend
+        return "pallas" if self.device.platform == "tpu" else "xla"
+
+    # -- resource upload ----------------------------------------------------
+
+    def load_scene(self, scene, mesh_data) -> None:
+        """Flatten + upload scene geometry (the VB/IB upload analog)."""
+        with ztracy.zone("load_scene"):
+            self.scene = scene
+            self.flat = flatten_scene(
+                scene,
+                mesh_data,
+                pad=True,
+                vert_align=self.config.vert_align,
+                tri_align=self.config.tri_align,
+            )
+            f = self.flat
+            self._device_buffers = {
+                "positions": jax.device_put(f.positions, self.device),
+                "attrs": jax.device_put(f.attrs, self.device),
+                "tri_vidx": jax.device_put(f.tri_vidx, self.device),
+                "vert_node": jax.device_put(f.vert_node, self.device),
+            }
+            for name, buf in self._device_buffers.items():
+                self.resources.add((name, buf))
+            log.info(
+                "scene uploaded: %d draws, %d verts (%d padded), %d tris (%d padded)",
+                f.draw_count,
+                f.num_vertices,
+                len(f.positions),
+                f.num_triangles,
+                len(f.tri_vidx),
+            )
+
+    # -- frame pipeline -----------------------------------------------------
+
+    def _frame_fn(self):
+        cfg = self.config
+        key = (
+            self.backend,
+            cfg.content_hash(),
+            len(self.flat.positions),
+            len(self.flat.tri_vidx),
+            self.flat.draw_count,
+        )
+
+        def build():
+            if self.backend == "pallas":
+
+                def frame(positions, attrs, tri_vidx, node_ids, matrices):
+                    color, depth = raster_pallas.render_frame_pallas(
+                        positions, attrs, tri_vidx, matrices, node_ids,
+                        cfg.width, cfg.height,
+                        cfg.pad_height, cfg.pad_width,
+                        interpret=cfg.debug,
+                    )
+                    return raster_pallas.unpack_rgba8(color), depth
+
+            else:
+
+                def frame(positions, attrs, tri_vidx, node_ids, matrices):
+                    return raster_xla.render_frame_xla(
+                        positions, attrs, tri_vidx, matrices, node_ids,
+                        cfg.width, cfg.height,
+                    )
+
+            return jax.jit(frame)
+
+        return self.pipelines.get_or_create(key, build)
+
+    def camera_matrices(self, camera=None, transforms=None) -> np.ndarray:
+        """Host-side per-frame constants: object_to_clip per draw
+        (the Pso_FrameConst/Pso_DrawConst analog, zrenderer.zig:311-343)."""
+        camera = camera if camera is not None else self.scene.active_camera
+        vp = g.view_proj_from_camera(camera, self.config.width, self.config.height)
+        node_to_world = self.flat.node_to_world
+        if transforms is not None:
+            node_to_world = np.asarray(transforms, np.float32)
+        out = np.empty_like(node_to_world)
+        for i in range(len(node_to_world)):
+            out[i] = node_to_world[i] @ vp
+        return out.astype(np.float32)
+
+    def render(self, camera=None, transforms=None):
+        """Enqueue one frame; returns the device frame (async).
+
+        The host returns as soon as XLA has enqueued the step — the CPU/TPU
+        pipelining the reference implements with 2-frames-in-flight fences
+        (zd3d12.zig:45, :663-667) falls out of JAX's async dispatch.
+        """
+        assert self.flat is not None, "load_scene first"
+        with ztracy.zone("render"):
+            matrices = self.camera_matrices(camera, transforms)
+            frame = self._frame_fn()
+            b = self._device_buffers
+            color, depth = frame(
+                b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
+                matrices,
+            )
+            self._pending = (color, depth)
+            self.stats.update(
+                triangles=self.flat.num_triangles,
+                pixels=self.config.width * self.config.height,
+            )
+            ztracy.frame_mark()
+            return color, depth
+
+    def present(self):
+        """Fence on the most recent frame (the Present + fence analog,
+        zd3d12.zig:649-667).  The frame STAYS on device — the reference's
+        Present flips an on-GPU swapchain without any CPU copy; the analog
+        here is completion of the device step.  Returns the device arrays.
+        """
+        assert self._pending is not None, "render first"
+        with ztracy.zone("present"):
+            jax.block_until_ready(self._pending)
+            return self._pending
+
+    def read_frame(self):
+        """Device -> host readback of the latest frame (the screenshot /
+        CopyTextureRegion-to-readback-buffer path, NOT part of the steady
+        frame loop).  Returns (rgba_u8 (H, W, 4), depth (H, W)) numpy."""
+        assert self._pending is not None, "render first"
+        color, depth = self._pending
+        with ztracy.zone("read_frame"):
+            return np.asarray(color), np.asarray(depth)
+
+    def render_and_read(self, camera=None, transforms=None):
+        self.render(camera, transforms)
+        return self.read_frame()
+
+    def finish_gpu_commands(self) -> None:
+        """Drain the device (finishGpuCommands analog, zd3d12.zig:784-794)."""
+        if self._pending is not None:
+            jax.block_until_ready(self._pending)

@@ -41,6 +41,19 @@ FAN_SLOTS = CLIP_MAX_VERTS - 2  # 6 triangles per input after full clipping
 #   13:16 tangent.xyz  (tangent.w dropped into 16 if needed later)
 ATTR_FLOATS = 16
 
+def _ob(xp, x):
+    """Rounding barrier: forces the wrapped product to be rounded to f32
+    before any consuming add, preventing XLA/Mosaic from contracting
+    mul+add chains into FMAs.  NumPy rounds after every op already, so this
+    is what makes device setup arithmetic bit-identical to the CPU oracle
+    (docs/RASTER_SPEC.md §5)."""
+    if xp is np:
+        return x
+    import jax
+
+    return jax.lax.optimization_barrier(x)
+
+
 # Triangle setup integer column layout (Tsetup, NI32)
 I_X0, I_Y0, I_X1, I_Y1, I_X2, I_Y2 = range(6)
 I_DX0, I_DY0, I_DX1, I_DY1, I_DX2, I_DY2 = range(6, 12)
@@ -90,7 +103,9 @@ def transform_positions(xp, positions, matrices, node_ids):
     p1 = positions[:, 1:2]
     p2 = positions[:, 2:3]
     p3 = positions[:, 3:4]
-    out = ((p0 * m[:, 0] + p1 * m[:, 1]) + (p2 * m[:, 2] + p3 * m[:, 3]))
+    out = (_ob(xp, p0 * m[:, 0]) + _ob(xp, p1 * m[:, 1])) + (
+        _ob(xp, p2 * m[:, 2]) + _ob(xp, p3 * m[:, 3])
+    )
     return out.astype(xp.float32)
 
 
@@ -116,12 +131,12 @@ def _plane_distance(xp, verts, plane_id, gx, gy):
     if plane_id == 0:
         return z  # near: z >= 0
     if plane_id == 1:
-        return gx * w - x  # right guard
+        return _ob(xp, gx * w) - x  # right guard
     if plane_id == 2:
-        return gx * w + x  # left guard
+        return _ob(xp, gx * w) + x  # left guard
     if plane_id == 3:
-        return gy * w - y  # top guard
-    return gy * w + y  # bottom guard
+        return _ob(xp, gy * w) - y  # top guard
+    return _ob(xp, gy * w) + y  # bottom guard
 
 
 def _clip_polygons_against_plane(xp, verts, counts, dist):
@@ -151,7 +166,7 @@ def _clip_polygons_against_plane(xp, verts, counts, dist):
     denom = d_cur - d_nxt
     safe = xp.where(denom == 0, xp.float32(1.0), denom)
     t = (d_cur / safe).astype(xp.float32)[..., None]
-    v_is = (verts + t * (v_nxt - verts)).astype(xp.float32)
+    v_is = (verts + _ob(xp, t * (v_nxt - verts))).astype(xp.float32)
 
     # Each input slot emits up to two outputs: [v_cur if keep][v_is if cross].
     emit0 = keep.astype(xp.int32)
@@ -345,3 +360,46 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
     fan, fan_valid = clip_triangles(xp, tris, width, height)
     return setup_triangles(xp, fan, fan_valid, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Compaction + block metadata (binning level 0)
+# ---------------------------------------------------------------------------
+
+RASTER_BLOCK = 128  # triangles per raster block (block-skip granularity)
+_INT_MAX = 2**31 - 1
+
+
+def compact_triangles(xp, tri_i32, tri_f32):
+    """Stable-partition live triangles to the front.
+
+    The fan-slot layout leaves most slots dead (clipping rarely fires); a
+    stable valid-first sort clusters live triangles into the leading raster
+    blocks so the kernel's block-skip test eliminates the dead tail.  The
+    sort is stable, so the relative order of live triangles — the depth-tie
+    submission order — is preserved exactly.
+    """
+    dead = (tri_i32[:, I_VALID] == 0).astype(xp.int32)
+    order = xp.argsort(dead, stable=True)
+    return tri_i32[order], tri_f32[order]
+
+
+def block_bounds(xp, tri_i32, block: int = RASTER_BLOCK):
+    """Per-block union bbox for the kernel's block-skip test.
+
+    Returns (num_blocks, 8) int32: [jmin, jmax, imin, imax, any_valid, 0, 0, 0]
+    with an empty bbox (jmin > jmax) for all-dead blocks.
+    """
+    t = tri_i32.shape[0]
+    assert t % block == 0, "pad triangle count to a multiple of RASTER_BLOCK"
+    nb = t // block
+    valid = tri_i32[:, I_VALID].reshape(nb, block) > 0
+    jmin = xp.where(valid, tri_i32[:, I_JMIN].reshape(nb, block), _INT_MAX).min(axis=1)
+    jmax = xp.where(valid, tri_i32[:, I_JMAX].reshape(nb, block), -_INT_MAX).max(axis=1)
+    imin = xp.where(valid, tri_i32[:, I_IMIN].reshape(nb, block), _INT_MAX).min(axis=1)
+    imax = xp.where(valid, tri_i32[:, I_IMAX].reshape(nb, block), -_INT_MAX).max(axis=1)
+    any_valid = valid.any(axis=1).astype(xp.int32)
+    zero = xp.zeros_like(jmin)
+    return xp.stack(
+        [jmin, jmax, imin, imax, any_valid, zero, zero, zero], axis=1
+    ).astype(xp.int32)

@@ -17,8 +17,9 @@ item 6, BASELINE.json north star):
 * output is a packed RGBA8 u32 plane + f32 depth — one perspective divide
   per pixel at resolve time, u8 packing fused into the kernel epilogue.
 
-Triangle setup data arrives transposed as (NI32, T) / (NF32, T) so the
-per-triangle constants are contiguous scalar loads.
+Triangle setup data arrives row-major as (T, NI32) / (T, NF32): Mosaic
+supports dynamic indexing along sublanes but not lanes, so the per-triangle
+scalar loads index rows.
 """
 
 from __future__ import annotations
@@ -36,16 +37,23 @@ TILE_H = 32
 TILE_W = 128
 
 
-def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
+def _raster_kernel(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                    zbuf, nr, ng, nb, den):
-    """One screen tile: loop all triangles, keep tile state in VMEM scratch.
+    """One screen tile: loop triangle blocks, keep tile state in VMEM scratch.
 
-    ti_ref: (NI32, T) int32 setup, tf_ref: (NF32, T) f32 setup.
+    blk_ref: (B, 8) int32 per-block union bboxes (geometry.block_bounds),
+    ti_ref: (T, NI32) int32 setup, tf_ref: (T, NF32) f32 setup.
     color_ref: (TILE_H, TILE_W) uint32 out, depth_ref: (TILE_H, TILE_W) f32.
     """
+    _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den, row_base=0)
+
+
+def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den, row_base):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
-    row0 = tile_i * TILE_H
+    row0 = row_base + tile_i * TILE_H
     col0 = tile_j * TILE_W
 
     half = g.SUBPIXEL // 2
@@ -60,15 +68,10 @@ def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
     nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-    num_tris = ti_ref.shape[1]
+    num_blocks = blk_ref.shape[0]
 
-    def body(t, carry):
-        # Cheap scalar prefilter: does this triangle's bbox touch the tile?
-        jmin = ti_ref[g.I_JMIN, t]
-        jmax = ti_ref[g.I_JMAX, t]
-        imin = ti_ref[g.I_IMIN, t]
-        imax = ti_ref[g.I_IMAX, t]
-        overlap = (
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
             (jmax >= col0)
             & (jmin < col0 + TILE_W)
             & (imax >= row0)
@@ -77,23 +80,46 @@ def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
             & (imin <= imax)
         )
 
+    def block_body(bk, carry):
+        # Level-0 binning: skip a whole block of RASTER_BLOCK triangles when
+        # its union bbox misses this tile (compaction packs live triangles
+        # into the leading blocks, so dead-tail blocks cost 4 scalar loads).
+        b_overlap = tile_overlap(
+            blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
+        )
+
+        @pl.when(b_overlap)
+        def _():
+            jax.lax.fori_loop(
+                bk * g.RASTER_BLOCK, (bk + 1) * g.RASTER_BLOCK, body, 0
+            )
+
+        return carry
+
+    def body(t, carry):
+        # Per-triangle prefilter: does this triangle's bbox touch the tile?
+        overlap = tile_overlap(
+            ti_ref[t, g.I_JMIN], ti_ref[t, g.I_JMAX],
+            ti_ref[t, g.I_IMIN], ti_ref[t, g.I_IMAX],
+        )
+
         @pl.when(overlap)
         def _():
-            x0 = ti_ref[g.I_X0, t]
-            y0 = ti_ref[g.I_Y0, t]
-            x1 = ti_ref[g.I_X1, t]
-            y1 = ti_ref[g.I_Y1, t]
-            x2 = ti_ref[g.I_X2, t]
-            y2 = ti_ref[g.I_Y2, t]
-            dx0 = ti_ref[g.I_DX0, t]
-            dy0 = ti_ref[g.I_DY0, t]
-            dx1 = ti_ref[g.I_DX1, t]
-            dy1 = ti_ref[g.I_DY1, t]
-            dx2 = ti_ref[g.I_DX2, t]
-            dy2 = ti_ref[g.I_DY2, t]
-            b0 = ti_ref[g.I_BIAS0, t]
-            b1 = ti_ref[g.I_BIAS1, t]
-            b2 = ti_ref[g.I_BIAS2, t]
+            x0 = ti_ref[t, g.I_X0]
+            y0 = ti_ref[t, g.I_Y0]
+            x1 = ti_ref[t, g.I_X1]
+            y1 = ti_ref[t, g.I_Y1]
+            x2 = ti_ref[t, g.I_X2]
+            y2 = ti_ref[t, g.I_Y2]
+            dx0 = ti_ref[t, g.I_DX0]
+            dy0 = ti_ref[t, g.I_DY0]
+            dx1 = ti_ref[t, g.I_DX1]
+            dy1 = ti_ref[t, g.I_DY1]
+            dx2 = ti_ref[t, g.I_DX2]
+            dy2 = ti_ref[t, g.I_DY2]
+            b0 = ti_ref[t, g.I_BIAS0]
+            b1 = ti_ref[t, g.I_BIAS1]
+            b2 = ti_ref[t, g.I_BIAS2]
 
             e0 = dx0 * (py - y1) - dy0 * (px - x1)
             e1 = dx1 * (py - y2) - dy1 * (px - x2)
@@ -103,35 +129,35 @@ def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
             ef0 = e0.astype(jnp.float32)
             ef1 = e1.astype(jnp.float32)
             ef2 = e2.astype(jnp.float32)
-            z = ef0 * tf_ref[g.F_ZA0, t] + ef1 * tf_ref[g.F_ZA1, t] + ef2 * tf_ref[g.F_ZA2, t]
+            z = ef0 * tf_ref[t, g.F_ZA0] + ef1 * tf_ref[t, g.F_ZA1] + ef2 * tf_ref[t, g.F_ZA2]
             zb = zbuf[...]
             ok = cov & (z >= 0.0) & (z < zb)
 
             zbuf[...] = jnp.where(ok, z, zb)
             den[...] = jnp.where(
                 ok,
-                ef0 * tf_ref[g.F_RW0, t] + ef1 * tf_ref[g.F_RW1, t] + ef2 * tf_ref[g.F_RW2, t],
+                ef0 * tf_ref[t, g.F_RW0] + ef1 * tf_ref[t, g.F_RW1] + ef2 * tf_ref[t, g.F_RW2],
                 den[...],
             )
             nr[...] = jnp.where(
                 ok,
-                ef0 * tf_ref[g.F_CR0, t] + ef1 * tf_ref[g.F_CR1, t] + ef2 * tf_ref[g.F_CR2, t],
+                ef0 * tf_ref[t, g.F_CR0] + ef1 * tf_ref[t, g.F_CR1] + ef2 * tf_ref[t, g.F_CR2],
                 nr[...],
             )
             ng[...] = jnp.where(
                 ok,
-                ef0 * tf_ref[g.F_CG0, t] + ef1 * tf_ref[g.F_CG1, t] + ef2 * tf_ref[g.F_CG2, t],
+                ef0 * tf_ref[t, g.F_CG0] + ef1 * tf_ref[t, g.F_CG1] + ef2 * tf_ref[t, g.F_CG2],
                 ng[...],
             )
             nb[...] = jnp.where(
                 ok,
-                ef0 * tf_ref[g.F_CB0, t] + ef1 * tf_ref[g.F_CB1, t] + ef2 * tf_ref[g.F_CB2, t],
+                ef0 * tf_ref[t, g.F_CB0] + ef1 * tf_ref[t, g.F_CB1] + ef2 * tf_ref[t, g.F_CB2],
                 nb[...],
             )
 
         return carry
 
-    jax.lax.fori_loop(0, num_tris, body, 0)
+    jax.lax.fori_loop(0, num_blocks, block_body, 0)
 
     # Resolve: one perspective divide per pixel, pack RGBA8 into a u32 lane.
     d = den[...]
@@ -141,7 +167,9 @@ def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
     def chan(numer, clear):
         c = jnp.where(covered, numer * inv, jnp.float32(clear))
         c = jnp.clip(c, 0.0, 1.0)
-        return jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5)).astype(jnp.uint32)
+        q = jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5))
+        # Mosaic has no f32->u32 cast; values are in [0, 255] so go via i32.
+        return q.astype(jnp.int32).astype(jnp.uint32)
 
     r = chan(nr[...], 0.0)
     gch = chan(ng[...], 0.0)
@@ -151,26 +179,46 @@ def _raster_kernel(ti_ref, tf_ref, color_ref, depth_ref,
     depth_ref[...] = zbuf[...]
 
 
-def rasterize_setup_pallas(tri_i32_t, tri_f32_t, width: int, height: int,
-                           interpret: bool = False):
-    """Rasterize transposed setup buffers.
+def prepare_raster_inputs(tri_i32, tri_f32):
+    """Compact live triangles to the front, pad to RASTER_BLOCK, and compute
+    per-block union bboxes (the level-0 binning pass, all on device)."""
+    t = tri_i32.shape[0]
+    pad = (-t) % g.RASTER_BLOCK
+    if pad:
+        tri_i32 = jnp.concatenate(
+            [tri_i32, jnp.zeros((pad, g.NI32), jnp.int32)
+             .at[:, g.I_JMIN].set(1)], axis=0
+        )
+        tri_f32 = jnp.concatenate(
+            [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
+        )
+    tri_i32, tri_f32 = g.compact_triangles(jnp, tri_i32, tri_f32)
+    blocks = g.block_bounds(jnp, tri_i32)
+    return blocks, tri_i32, tri_f32
 
-    tri_i32_t: (NI32, T) int32, tri_f32_t: (NF32, T) f32 — transposed setup
-    from ops.geometry.  width/height must be multiples of (TILE_W, TILE_H);
-    the engine pads the framebuffer and crops (viewport clamping in setup
-    already restricts coverage to the true viewport).
+
+def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
+                           interpret: bool = False):
+    """Rasterize setup buffers from ops.geometry.
+
+    tri_i32: (T, NI32) int32, tri_f32: (T, NF32) f32.  width/height must be
+    multiples of (TILE_W, TILE_H); the engine pads the framebuffer and crops
+    (viewport clamping in setup already restricts coverage to the true
+    viewport).
 
     Returns (packed_rgba8 (H, W) uint32, depth (H, W) f32).
     """
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
+    blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
 
     color, depth = pl.pallas_call(
         _raster_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (NI32, T)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (NF32, T)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (B, 8) block bboxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (T, NI32)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (T, NF32)
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
@@ -190,7 +238,54 @@ def rasterize_setup_pallas(tri_i32_t, tri_f32_t, width: int, height: int,
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # den
         ],
         interpret=interpret,
-    )(tri_i32_t, tri_f32_t)
+    )(blocks, tri_i32, tri_f32)
+    return color, depth
+
+
+def _band_kernel(row0_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den):
+    """Band variant for multi-chip tile sharding: identical to
+    _raster_kernel but pixel rows are offset by a per-device scalar
+    (the device's band start row) prefetched into SMEM."""
+    _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den, row_base=row0_ref[0])
+
+
+def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
+                                row0, interpret: bool = False):
+    """Rasterize a horizontal band starting at global row `row0` (traced
+    scalar) — used inside shard_map for multi-chip tile sharding."""
+    assert band_h % TILE_H == 0 and width % TILE_W == 0
+    grid = (band_h // TILE_H, width // TILE_W)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
+    blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
+
+    color, depth = pl.pallas_call(
+        _band_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(5)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((band_h, width), jnp.uint32),
+            jax.ShapeDtypeStruct((band_h, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row0_arr, blocks, tri_i32, tri_f32)
     return color, depth
 
 
@@ -221,7 +316,7 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height
     )
     color, depth = rasterize_setup_pallas(
-        tri_i32.T, tri_f32.T, pad_width, pad_height, interpret=interpret
+        tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
     )
     return color[:height, :width], depth[:height, :width]
 

@@ -1,0 +1,137 @@
+"""Multi-chip frame rendering: screen-tile + geometry sharding over ICI.
+
+The reference is single-GPU (SURVEY.md §2.3); its multi-device analog, per
+the BASELINE.json north star, is sharding the frame across a TPU mesh:
+
+* **Geometry parallelism** (the tensor-parallel analog): the triangle list
+  is sharded over the mesh axis; every device runs triangle setup for its
+  contiguous shard only, then `all_gather` (one ICI collective, tiled
+  concatenation preserving global triangle order => depth-tie semantics)
+  assembles the full setup buffers on every chip.
+* **Screen-tile data parallelism**: each device rasterizes its horizontal
+  band of the framebuffer (out sharding P('tiles', None)); no communication
+  at all in the raster phase — tile state never leaves the chip's VMEM.
+
+The composed step is one jitted shard_map: per-frame host->device traffic
+is just the per-draw matrices, and the only collective is the small setup
+all-gather riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_xla
+
+AXIS = "tiles"
+
+
+def _band_raster_xla(tri_i32, tri_f32, width, band_h, row_offset):
+    """Rasterize one horizontal band; row_offset is the band's first row."""
+    half = g.SUBPIXEL // 2
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 0) + row_offset
+    ) * g.SUBPIXEL + half
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 1) * g.SUBPIXEL + half
+    )
+
+    def body(t, state):
+        zbuf, nr, ng, nb, den = state
+        ti = tri_i32[t]
+        tf = tri_f32[t]
+        e0 = ti[6] * (py - ti[3]) - ti[7] * (px - ti[2])
+        e1 = ti[8] * (py - ti[5]) - ti[9] * (px - ti[4])
+        e2 = ti[10] * (py - ti[1]) - ti[11] * (px - ti[0])
+        cov = (e0 >= ti[12]) & (e1 >= ti[13]) & (e2 >= ti[14]) & (ti[g.I_VALID] > 0)
+        ef0 = e0.astype(jnp.float32)
+        ef1 = e1.astype(jnp.float32)
+        ef2 = e2.astype(jnp.float32)
+        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        ok = cov & (z >= 0.0) & (z < zbuf)
+        zbuf = jnp.where(ok, z, zbuf)
+        den = jnp.where(ok, ef0 * tf[g.F_RW0] + ef1 * tf[g.F_RW1] + ef2 * tf[g.F_RW2], den)
+        nr = jnp.where(ok, ef0 * tf[g.F_CR0] + ef1 * tf[g.F_CR1] + ef2 * tf[g.F_CR2], nr)
+        ng = jnp.where(ok, ef0 * tf[g.F_CG0] + ef1 * tf[g.F_CG1] + ef2 * tf[g.F_CG2], ng)
+        nb = jnp.where(ok, ef0 * tf[g.F_CB0] + ef1 * tf[g.F_CB1] + ef2 * tf[g.F_CB2], nb)
+        return zbuf, nr, ng, nb, den
+
+    shape = (band_h, width)
+    init = (
+        jnp.full(shape, 1.0, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+    )
+    zbuf, nr, ng, nb, den = jax.lax.fori_loop(0, tri_i32.shape[0], body, init)
+    rgba, depth = raster_xla.resolve(zbuf, nr, ng, nb, den)
+    return raster_xla.pack_u8(rgba), depth
+
+
+def make_sharded_frame(mesh: Mesh, width: int, height: int,
+                       use_pallas: bool = False):
+    """Build the jitted multi-chip frame step for a 1D device mesh.
+
+    Returns (frame_fn, shard_fn) where frame_fn(positions, attrs, tri_vidx,
+    matrices, node_ids) -> (rgba_u8 (H, W, 4), depth (H, W)) with outputs
+    sharded by row band, and shard_fn places inputs (tri_vidx sharded over
+    the axis, everything else replicated).
+    """
+    n = mesh.devices.size
+    assert height % n == 0, "height must divide across the mesh"
+    band_h = height // n
+
+    def step(positions, attrs, tri_vidx_shard, matrices, node_ids):
+        # Geometry parallel: set up this device's triangle shard only.
+        ti_local, tf_local = g.geometry_pipeline(
+            jnp, positions, attrs, tri_vidx_shard, matrices, node_ids,
+            width, height,
+        )
+        # One ICI collective: gather the (small) setup buffers. tiled=True
+        # concatenates along axis 0 in axis order.  Note the fan-slot-major
+        # triangle order becomes per-shard-major — identical images except
+        # for exact depth ties between triangles of different shards
+        # (docs/RASTER_SPEC.md §3).
+        ti = jax.lax.all_gather(ti_local, AXIS, axis=0, tiled=True)
+        tf = jax.lax.all_gather(tf_local, AXIS, axis=0, tiled=True)
+
+        # Screen-tile parallel: rasterize this device's band. No collective.
+        row0 = jax.lax.axis_index(AXIS) * band_h
+        if use_pallas:
+            from zrenderer_tpu.ops import raster_pallas as rp
+
+            color, depth = rp.rasterize_setup_pallas_band(
+                ti, tf, width, band_h, row0
+            )
+            return rp.unpack_rgba8(color), depth
+        return _band_raster_xla(ti, tf, width, band_h, row0)
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None)),
+        check_rep=False,
+    )
+    frame_fn = jax.jit(sharded)
+
+    def shard_inputs(positions, attrs, tri_vidx, matrices, node_ids):
+        rep = NamedSharding(mesh, P())
+        tri_sh = NamedSharding(mesh, P(AXIS))
+        return (
+            jax.device_put(positions, rep),
+            jax.device_put(attrs, rep),
+            jax.device_put(tri_vidx, tri_sh),
+            jax.device_put(matrices, rep),
+            jax.device_put(node_ids, rep),
+        )
+
+    return frame_fn, shard_inputs

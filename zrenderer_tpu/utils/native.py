@@ -1,0 +1,222 @@
+"""ctypes bindings for the native runtime library (native/zrt_native.cpp).
+
+The native layer covers what the reference implements in vendored C/C++
+(SURVEY.md §2.2): fast binary asset IO (cgltf-era data path), mesh
+optimization (meshoptimizer capabilities: index dedup/remap, vertex-cache
+reordering, cache analysis), and PNG encode (frame dumping).  Everything
+here has a pure-Python fallback, so the framework degrades gracefully when
+the library has not been built (`cd native && make`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+log = logging.getLogger("zrenderer.native")
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libzrt.so",
+    )
+
+
+def load(build_if_missing: bool = True):
+    """Load (building on first use if needed) libzrt; returns None if
+    unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path) and build_if_missing:
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=os.path.dirname(path), check=True,
+                capture_output=True,
+            )
+        except Exception as e:  # toolchain missing: fall back to Python
+            log.warning("native build failed (%s); using Python fallbacks", e)
+            return None
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+
+    lib.zrt_version.restype = ctypes.c_uint32
+    lib.zrt_meshes_probe.restype = ctypes.c_int
+    lib.zrt_meshes_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.zrt_meshes_load.restype = ctypes.c_int
+    lib.zrt_meshes_load.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.zrt_generate_vertex_remap.restype = ctypes.c_uint32
+    lib.zrt_generate_vertex_remap.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.zrt_apply_remap.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+    ]
+    lib.zrt_optimize_vertex_cache.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
+    lib.zrt_analyze_vertex_cache.restype = ctypes.c_uint32
+    lib.zrt_analyze_vertex_cache.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32,
+    ]
+    lib.zrt_encode_png.restype = ctypes.c_uint64
+    lib.zrt_encode_png.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+    ]
+    _LIB = lib
+    log.info("libzrt loaded (version %d)", lib.zrt_version())
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def meshes_load(blob: bytes):
+    """Fast meshes.bin payload load: (vertex_data f32, index_data u32)."""
+    lib = load()
+    if lib is None:
+        from zrenderer_tpu.scene.mesh import MeshData
+
+        md = MeshData.deserialize(blob)
+        return md.vertex_data, md.index_data
+    nm = ctypes.c_uint32()
+    nvf = ctypes.c_uint32()
+    ni = ctypes.c_uint32()
+    rc = lib.zrt_meshes_probe(blob, len(blob), nm, nvf, ni)
+    if rc != 0:
+        raise ValueError(f"bad meshes.bin (native rc={rc})")
+    verts = np.empty(nvf.value, np.float32)
+    idx = np.empty(ni.value, np.uint32)
+    rc = lib.zrt_meshes_load(blob, len(blob), _f32p(verts), _u32p(idx))
+    assert rc == 0
+    return verts, idx
+
+
+def generate_vertex_remap(vertices: np.ndarray) -> tuple:
+    """Deduplicate (n, k) f32 vertices; returns (remap (n,) u32, unique count).
+    Python fallback uses np.unique (order-preserving first-occurrence)."""
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    n, k = vertices.shape
+    lib = load()
+    if lib is None:
+        _, first_idx, inverse = np.unique(
+            vertices.view([("", np.float32)] * k).reshape(n),
+            return_index=True, return_inverse=True,
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        return rank[inverse].astype(np.uint32), len(order)
+    remap = np.empty(n, np.uint32)
+    unique = lib.zrt_generate_vertex_remap(_f32p(vertices), n, k, _u32p(remap))
+    return remap, int(unique)
+
+
+def apply_remap(vertices: np.ndarray, remap: np.ndarray, unique: int,
+                indices: np.ndarray) -> tuple:
+    """Compact vertices by remap and rewrite indices; returns (verts, idx)."""
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    indices = np.ascontiguousarray(indices, np.uint32).copy()
+    n, k = vertices.shape
+    out = np.empty((unique, k), np.float32)
+    lib = load()
+    if lib is None:
+        out[remap] = vertices
+        return out, remap[indices].astype(np.uint32)
+    lib.zrt_apply_remap(
+        _f32p(vertices), _f32p(out), n, k, _u32p(np.ascontiguousarray(remap)),
+        _u32p(indices), len(indices),
+    )
+    return out, indices
+
+
+def optimize_vertex_cache(indices: np.ndarray, vertex_count: int,
+                          cache_size: int = 32) -> np.ndarray:
+    """Reorder triangles for vertex-cache locality (native only; Python
+    fallback returns the input unchanged — optimization is optional)."""
+    indices = np.ascontiguousarray(indices, np.uint32).copy()
+    lib = load()
+    if lib is None:
+        return indices
+    lib.zrt_optimize_vertex_cache(
+        _u32p(indices), len(indices), vertex_count, cache_size
+    )
+    return indices
+
+
+def analyze_vertex_cache(indices: np.ndarray, vertex_count: int,
+                         cache_size: int = 32) -> float:
+    """Average cache miss rate (misses per triangle)."""
+    indices = np.ascontiguousarray(indices, np.uint32)
+    lib = load()
+    if lib is None:  # simple Python FIFO model
+        last = {}
+        t = 0
+        misses = 0
+        for v in indices:
+            v = int(v)
+            if v not in last or t - last[v] > cache_size:
+                misses += 1
+                last[v] = t
+                t += 1
+        return misses / max(1, len(indices) // 3)
+    return lib.zrt_analyze_vertex_cache(
+        _u32p(indices), len(indices), vertex_count, cache_size
+    ) / 1000.0
+
+
+def encode_png(rgba: np.ndarray) -> bytes:
+    """Native PNG encode with pure-Python fallback."""
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    assert rgba.ndim == 3 and rgba.shape[2] == 4
+    lib = load()
+    if lib is None:
+        from zrenderer_tpu.utils.png import encode_png as py_encode
+
+        return py_encode(rgba)
+    h, w = rgba.shape[:2]
+    cap = rgba.nbytes + 4096
+    out = np.empty(cap, np.uint8)
+    size = lib.zrt_encode_png(
+        rgba.tobytes(), w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if size == 0:
+        from zrenderer_tpu.utils.png import encode_png as py_encode
+
+        return py_encode(rgba)
+    return out[:size].tobytes()
