@@ -38,7 +38,11 @@ def test_render_matches_cpu_oracle(renderer):
     scene, mesh_data = make_test_scene()
     img_cpu, depth_cpu = render_scene_cpu(scene, mesh_data, 192, 108)
     img, depth = renderer.render_and_read()
-    np.testing.assert_array_equal(img, img_cpu)
+    # Full-pipeline device-vs-oracle contract (docs/RASTER_SPEC.md §5):
+    # u8 within 1 LSB on a vanishing pixel fraction (XLA division rounding).
+    diff = np.abs(img.astype(np.int32) - img_cpu.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-4
 
 
 def test_pipeline_cache_reuse(renderer):

@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default=None, help="PNG output folder")
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "pallas", "xla"])
+    parser.add_argument("--pipeline", default="flat",
+                        choices=["flat", "lit", "shadowed", "deferred"],
+                        help="render pipeline (BASELINE.json configs 0-3)")
+    parser.add_argument("--orbit", action="store_true",
+                        help="animate the camera on a turntable orbit")
     parser.add_argument("--overlay", action="store_true",
                         help="rasterize the stats/outliner overlay into frames")
     parser.add_argument("--debug", action="store_true",
@@ -62,10 +67,23 @@ def main(argv=None) -> int:
 
     config = RenderConfig(
         width=args.width, height=args.height, backend=args.backend,
-        debug=args.debug,
+        pipeline=args.pipeline, debug=args.debug,
     )
     renderer = Renderer(config)
     renderer.load_scene(scene, mesh_data)
+    if args.pipeline != "flat":
+        from zrenderer_tpu.engine.textures import Texture, checkerboard
+
+        renderer.set_environment(texture=Texture.from_array(checkerboard(256)))
+
+    orbit_ctl = None
+    if args.orbit:
+        from zrenderer_tpu.app.camera import CameraController
+
+        orbit_ctl = CameraController(scene.active_camera)
+        orbit_radius = float(
+            __import__("numpy").linalg.norm(scene.active_camera.position)
+        )
 
     print(scene_outliner(scene))
 
@@ -79,7 +97,15 @@ def main(argv=None) -> int:
         os.makedirs(args.out, exist_ok=True)
 
     def run_frames():
+        import math
+
         for frame_i in range(args.frames):
+            if orbit_ctl is not None:
+                orbit_ctl.orbit(
+                    (0.0, 0.5, 0.0), orbit_radius,
+                    azimuth=2 * math.pi * frame_i / max(args.frames, 1),
+                    elevation=0.35,
+                )
             renderer.render()
             if not args.out and overlay is None:
                 renderer.present()  # fence only; frame stays on device

@@ -24,6 +24,10 @@ class RenderConfig:
     width: int = 1920
     height: int = 1080
     backend: str = "auto"  # "pallas" | "xla" | "auto" (pallas on TPU)
+    # BASELINE.json configs: "flat" (0), "lit" (1), "shadowed" (2),
+    # "deferred" (3)
+    pipeline: str = "flat"
+    shadow_size: int = 1024
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
     debug: bool = False  # interpret-mode Pallas + checkify (the debug layer)
     profile: bool = False  # jax.profiler trace zones

@@ -1,0 +1,171 @@
+"""Render-pass composition: the frame programs for each pipeline config.
+
+The reference's platform can build graphics/compute pipelines beyond its
+flat-color demo (zd3d12.zig:904-1205); the BASELINE.json configs define the
+renderer's target pipelines.  Each builder returns a jittable function of
+(buffers, frame constants) — everything fuses into one XLA program per
+frame (plus the Pallas raster kernels):
+
+* ``flat``        — config 0: vertex-color forward (the reference demo).
+* ``lit``         — config 1: textured + Blinn-Phong point light.
+* ``shadowed``    — config 2: directional shadow map (depth-only pass) + PCF.
+* ``deferred``    — config 3: G-buffer + GGX with many point lights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from zrenderer_tpu.ops import geometry as g
+from zrenderer_tpu.ops import raster_pallas, raster_xla, sampling, shading
+
+
+def _gbuffer(backend, b, matrices, normal_mats, width, height,
+             pad_height, pad_width, interpret):
+    if backend == "pallas":
+        color, depth, u, v, nx, ny, nz = raster_pallas.render_gbuffer_pallas(
+            b["positions"], b["attrs"], b["tri_vidx"], matrices,
+            b["vert_node"], normal_mats, width, height,
+            pad_height, pad_width, interpret=interpret,
+        )
+        rgba = raster_pallas.unpack_rgba8(color)
+    else:
+        ti, tf = g.geometry_pipeline(
+            jnp, b["positions"], b["attrs"], b["tri_vidx"], matrices,
+            b["vert_node"], width, height, normal_matrices=normal_mats,
+        )
+        rgba, depth, u, v, nx, ny, nz = raster_xla.rasterize_gbuffer_xla(
+            ti, tf, width, height
+        )
+    return rgba, depth, u, v, nx, ny, nz
+
+
+def _depth_only(backend, b, light_matrices, size, interpret):
+    """Depth-only pass from the light's view (the shadow-map pass)."""
+    sw = sh = size
+    if backend == "pallas":
+        _, depth = raster_pallas.render_frame_pallas(
+            b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
+            b["vert_node"], sw, sh, sh, sw, interpret=interpret,
+        )
+    else:
+        _, depth = raster_xla.render_frame_xla(
+            b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
+            b["vert_node"], sw, sh,
+        )
+    return depth
+
+
+def build_lit_frame(backend, width, height, pad_height, pad_width,
+                    texture, interpret=False):
+    """Config 1: textured + Blinn-Phong point light, Z-buffered."""
+
+    def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
+              light_pos, light_color):
+        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+            backend, b, matrices, normal_mats, width, height,
+            pad_height, pad_width, interpret,
+        )
+        covered = depth < 1.0
+        uv = jnp.stack([u, v], axis=-1)
+        lod = sampling.mip_level_from_derivatives(
+            uv, (texture.sizes[0, 0], texture.sizes[0, 1]), texture.num_levels
+        )
+        tex = sampling.sample_trilinear(
+            texture.atlas, texture.offsets, texture.sizes, uv, lod
+        )
+        albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
+        normal = jnp.stack([nx, ny, nz], axis=-1)
+        world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
+        lit = shading.blinn_phong(
+            albedo, normal, world, cam_pos, light_pos, light_color
+        )
+        return shading.tonemap_and_pack(lit, covered), depth
+
+    return frame
+
+
+def build_shadowed_frame(backend, width, height, pad_height, pad_width,
+                         texture, shadow_size=1024, interpret=False):
+    """Config 2: directional light shadow map (depth-only pass + PCF)."""
+
+    def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
+              light_matrices, light_view_proj, light_dir, light_color):
+        shadow_depth = _depth_only(
+            backend, b, light_matrices, shadow_size, interpret
+        )
+        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+            backend, b, matrices, normal_mats, width, height,
+            pad_height, pad_width, interpret,
+        )
+        covered = depth < 1.0
+        uv = jnp.stack([u, v], axis=-1)
+        lod = sampling.mip_level_from_derivatives(
+            uv, (texture.sizes[0, 0], texture.sizes[0, 1]), texture.num_levels
+        )
+        tex = sampling.sample_trilinear(
+            texture.atlas, texture.offsets, texture.sizes, uv, lod
+        )
+        albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
+        normal = jnp.stack([nx, ny, nz], axis=-1)
+        n = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8
+        )
+        world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
+
+        lit_mask = shading.shadow_factor_pcf(shadow_depth, world, light_view_proj)
+        ndotl = jnp.maximum(
+            jnp.sum(n * (-light_dir)[None, None, :], axis=-1), 0.0
+        )
+        ambient = 0.10
+        rgb = albedo * (ambient + ndotl[..., None] * lit_mask[..., None]
+                        * light_color[None, None, :])
+        return shading.tonemap_and_pack(rgb, covered), depth, shadow_depth
+
+    return frame
+
+
+def build_deferred_frame(backend, width, height, pad_height, pad_width,
+                         metallic=0.0, roughness=0.4, interpret=False):
+    """Config 3: deferred G-buffer + lighting with many point lights.
+
+    On the Pallas backend the light loop runs in the tiled deferred-lighting
+    kernel (ops/light_kernel.py) with per-tile light culling; the XLA
+    backend uses the chunked GGX reference (ops/shading.py)."""
+
+    def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
+              light_pos, light_color, view_proj):
+        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+            backend, b, matrices, normal_mats, width, height,
+            pad_height, pad_width, interpret,
+        )
+        covered = depth < 1.0
+        albedo = rgba[..., :3].astype(jnp.float32) / 255.0
+        normal = jnp.stack([nx, ny, nz], axis=-1)
+        world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
+        if backend == "pallas":
+            from zrenderer_tpu.ops.light_kernel import tiled_deferred_lighting
+
+            def pad(x):
+                return jnp.pad(
+                    x,
+                    [(0, pad_height - height), (0, pad_width - width)]
+                    + [(0, 0)] * (x.ndim - 2),
+                )
+
+            rgb = tiled_deferred_lighting(
+                pad(albedo), pad(normal), pad(world), pad(covered),
+                cam_pos, light_pos, light_color, view_proj,
+                roughness=roughness, interpret=interpret,
+            )[:height, :width]
+        else:
+            rgb = shading.ggx_shade_many_lights(
+                albedo, normal, world, cam_pos, light_pos, light_color,
+                metallic=metallic, roughness=roughness,
+            )
+        return shading.tonemap_and_pack(rgb, covered), depth
+
+    return frame

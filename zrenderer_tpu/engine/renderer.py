@@ -91,6 +91,46 @@ class Renderer:
                 len(f.tri_vidx),
             )
 
+    # -- environment (textures, lights) --------------------------------------
+
+    def set_environment(self, texture=None, light_pos=(4.0, 8.0, 6.0),
+                        light_color=(1.0, 1.0, 1.0), lights=None,
+                        light_dir=(-0.5, -1.0, -0.35)):
+        """Bind the lit pipelines' resources: a Texture (None = 1x1 white),
+        one point light (lit), a light array (deferred), or a directional
+        light (shadowed)."""
+        from zrenderer_tpu.engine.textures import white_texture
+
+        self.texture = texture if texture is not None else white_texture()
+        self.light_pos = np.asarray(light_pos, np.float32)
+        self.light_color = np.asarray(light_color, np.float32)
+        d = np.asarray(light_dir, np.float32)
+        self.light_dir = d / np.linalg.norm(d)
+        if lights is None:
+            lights = (np.asarray([light_pos], np.float32),
+                      np.asarray([light_color], np.float32))
+        self.lights = (np.asarray(lights[0], np.float32),
+                       np.asarray(lights[1], np.float32))
+
+    def _light_view_proj(self) -> np.ndarray:
+        """Directional-light ortho view-proj fitted to the scene bounds."""
+        from zrenderer_tpu.math import zmath as zm
+
+        pts = self.flat.positions[:, :3]
+        center = (pts.min(axis=0) + pts.max(axis=0)) * 0.5
+        radius = float(np.linalg.norm(pts - center, axis=1).max()) + 1e-3
+        # Account for node translations crudely: pad by the largest offset.
+        radius += float(
+            np.abs(self.flat.node_to_world[:, 3, :3]).max()
+        )
+        eye = center - self.light_dir * (2.0 * radius)
+        up = (0, 1, 0) if abs(self.light_dir[1]) < 0.95 else (1, 0, 0)
+        view = zm.look_at_rh(
+            zm.load_vec3(eye), zm.load_vec3(center), zm.vec3(*up)
+        )
+        proj = zm.orthographic_rh(2.2 * radius, 2.2 * radius, 0.1, 4.5 * radius)
+        return zm.mul(view, proj)
+
     # -- frame pipeline -----------------------------------------------------
 
     def _frame_fn(self):
@@ -104,28 +144,56 @@ class Renderer:
         )
 
         def build():
-            if self.backend == "pallas":
+            if cfg.pipeline == "flat":
+                return jax.jit(self._build_flat_frame())
+            from zrenderer_tpu.engine import passes
 
-                def frame(positions, attrs, tri_vidx, node_ids, matrices):
-                    color, depth = raster_pallas.render_frame_pallas(
-                        positions, attrs, tri_vidx, matrices, node_ids,
-                        cfg.width, cfg.height,
-                        cfg.pad_height, cfg.pad_width,
+            if not hasattr(self, "texture"):
+                self.set_environment()
+            args = (self.backend, cfg.width, cfg.height, cfg.pad_height,
+                    cfg.pad_width)
+            if cfg.pipeline == "lit":
+                return jax.jit(
+                    passes.build_lit_frame(*args, self.texture,
+                                           interpret=cfg.debug)
+                )
+            if cfg.pipeline == "shadowed":
+                return jax.jit(
+                    passes.build_shadowed_frame(
+                        *args, self.texture, shadow_size=cfg.shadow_size,
                         interpret=cfg.debug,
                     )
-                    return raster_pallas.unpack_rgba8(color), depth
-
-            else:
-
-                def frame(positions, attrs, tri_vidx, node_ids, matrices):
-                    return raster_xla.render_frame_xla(
-                        positions, attrs, tri_vidx, matrices, node_ids,
-                        cfg.width, cfg.height,
-                    )
-
-            return jax.jit(frame)
+                )
+            if cfg.pipeline == "deferred":
+                return jax.jit(
+                    passes.build_deferred_frame(*args, interpret=cfg.debug)
+                )
+            raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
 
         return self.pipelines.get_or_create(key, build)
+
+    def _build_flat_frame(self):
+        cfg = self.config
+        if self.backend == "pallas":
+
+            def frame(positions, attrs, tri_vidx, node_ids, matrices):
+                color, depth = raster_pallas.render_frame_pallas(
+                    positions, attrs, tri_vidx, matrices, node_ids,
+                    cfg.width, cfg.height,
+                    cfg.pad_height, cfg.pad_width,
+                    interpret=cfg.debug,
+                )
+                return raster_pallas.unpack_rgba8(color), depth
+
+        else:
+
+            def frame(positions, attrs, tri_vidx, node_ids, matrices):
+                return raster_xla.render_frame_xla(
+                    positions, attrs, tri_vidx, matrices, node_ids,
+                    cfg.width, cfg.height,
+                )
+
+        return frame
 
     def camera_matrices(self, camera=None, transforms=None) -> np.ndarray:
         """Host-side per-frame constants: object_to_clip per draw
@@ -140,6 +208,30 @@ class Renderer:
             out[i] = node_to_world[i] @ vp
         return out.astype(np.float32)
 
+    def _lit_constants(self, camera=None, transforms=None) -> dict:
+        """Extended per-frame constants for the lit pipelines: normal
+        matrices (inverse-transpose rotations), inverse view-proj for
+        world-position reconstruction, camera position, lights."""
+        camera = camera if camera is not None else self.scene.active_camera
+        vp = g.view_proj_from_camera(camera, self.config.width, self.config.height)
+        node_to_world = self.flat.node_to_world
+        if transforms is not None:
+            node_to_world = np.asarray(transforms, np.float32)
+        matrices = np.einsum("nij,jk->nik", node_to_world, vp).astype(np.float32)
+        normal_mats = np.stack(
+            [np.linalg.inv(m[:3, :3]).T for m in node_to_world]
+        ).astype(np.float32)
+        return {
+            "matrices": matrices,
+            "normal_mats": normal_mats,
+            "view_proj": vp.astype(np.float32),
+            # f64 inversion: the projective matrix is ill-conditioned near
+            # the far plane and an f32 inverse costs ~1e-3 ndc error.
+            "inv_view_proj": np.linalg.inv(vp.astype(np.float64)).astype(np.float32),
+            "cam_pos": np.asarray(camera.position, np.float32),
+            "node_to_world": node_to_world,
+        }
+
     def render(self, camera=None, transforms=None):
         """Enqueue one frame; returns the device frame (async).
 
@@ -149,13 +241,42 @@ class Renderer:
         """
         assert self.flat is not None, "load_scene first"
         with ztracy.zone("render"):
-            matrices = self.camera_matrices(camera, transforms)
             frame = self._frame_fn()
             b = self._device_buffers
-            color, depth = frame(
-                b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
-                matrices,
-            )
+            pipeline = self.config.pipeline
+            if pipeline == "flat":
+                matrices = self.camera_matrices(camera, transforms)
+                color, depth = frame(
+                    b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
+                    matrices,
+                )
+            else:
+                c = self._lit_constants(camera, transforms)
+                if pipeline == "lit":
+                    color, depth = frame(
+                        b, c["matrices"], c["normal_mats"],
+                        c["inv_view_proj"], c["cam_pos"],
+                        self.light_pos, self.light_color,
+                    )
+                elif pipeline == "shadowed":
+                    light_vp = self._light_view_proj()
+                    light_matrices = np.einsum(
+                        "nij,jk->nik", c["node_to_world"], light_vp
+                    ).astype(np.float32)
+                    color, depth, self._shadow_map = frame(
+                        b, c["matrices"], c["normal_mats"],
+                        c["inv_view_proj"], c["cam_pos"],
+                        light_matrices, light_vp, self.light_dir,
+                        self.light_color,
+                    )
+                elif pipeline == "deferred":
+                    color, depth = frame(
+                        b, c["matrices"], c["normal_mats"],
+                        c["inv_view_proj"], c["cam_pos"],
+                        self.lights[0], self.lights[1], c["view_proj"],
+                    )
+                else:
+                    raise ValueError(pipeline)
             self._pending = (color, depth)
             self.stats.update(
                 triangles=self.flat.num_triangles,

@@ -62,13 +62,20 @@ I_JMIN, I_JMAX, I_IMIN, I_IMAX = range(15, 19)
 I_VALID = 19
 NI32 = 20
 
-# Triangle setup float column layout (Tsetup, NF32)
+# Triangle setup float column layout (Tsetup, NF32).  Columns 15+ carry the
+# extended interpolants used by the textured/lit pipelines (G-buffer path);
+# the flat-color kernel reads only the first 15.
 F_ZA0, F_ZA1, F_ZA2 = range(3)
 F_RW0, F_RW1, F_RW2 = range(3, 6)
 F_CR0, F_CR1, F_CR2 = range(6, 9)
 F_CG0, F_CG1, F_CG2 = range(9, 12)
 F_CB0, F_CB1, F_CB2 = range(12, 15)
-NF32 = 16
+F_U0, F_U1, F_U2 = range(15, 18)
+F_V0, F_V1, F_V2 = range(18, 21)
+F_NX0, F_NX1, F_NX2 = range(21, 24)
+F_NY0, F_NY1, F_NY2 = range(24, 27)
+F_NZ0, F_NZ1, F_NZ2 = range(27, 30)
+NF32 = 32
 
 
 def view_proj_from_camera(camera, width: int, height: int) -> np.ndarray:
@@ -107,6 +114,23 @@ def transform_positions(xp, positions, matrices, node_ids):
         _ob(xp, p2 * m[:, 2]) + _ob(xp, p3 * m[:, 3])
     )
     return out.astype(xp.float32)
+
+
+def transform_normals(xp, attrs, normal_matrices, node_ids):
+    """Rotate per-vertex normals (attrs channels 6:9) into world space by
+    the per-draw inverse-transpose rotation (row-vector: n' = n @ NM).
+    Same explicit association + barriers as transform_positions."""
+    nm = normal_matrices[node_ids]  # (N, 3, 3)
+    n = attrs[:, 6:9]
+    n0 = n[:, 0:1]
+    n1 = n[:, 1:2]
+    n2 = n[:, 2:3]
+    out = (_ob(xp, n0 * nm[:, 0]) + _ob(xp, n1 * nm[:, 1])) + _ob(
+        xp, n2 * nm[:, 2]
+    )
+    return xp.concatenate(
+        [attrs[:, 0:6], out.astype(xp.float32), attrs[:, 9:]], axis=1
+    )
 
 
 def assemble_triangles(xp, clip_pos, attrs, tri_vidx):
@@ -335,6 +359,8 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
     za = zndc * inv_area[:, None]
     col = varr[..., 4:7]  # rgb
     cw = col * rw[..., None]
+    uvw = varr[..., 8:10] * rw[..., None]  # u/w, v/w
+    nw = varr[..., 10:13] * rw[..., None]  # world-space normal / w
 
     tri_f32 = xp.concatenate(
         [
@@ -343,7 +369,12 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
             cw[..., 0],  # F_CR*
             cw[..., 1],
             cw[..., 2],
-            xp.zeros((tris.shape[0], NF32 - 15), f32),
+            uvw[..., 0],  # F_U*
+            uvw[..., 1],  # F_V*
+            nw[..., 0],  # F_NX*
+            nw[..., 1],  # F_NY*
+            nw[..., 2],  # F_NZ*
+            xp.zeros((tris.shape[0], NF32 - 30), f32),
         ],
         axis=1,
     ).astype(f32)
@@ -351,12 +382,16 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
 
 
 def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
-                      width: int, height: int):
+                      width: int, height: int, normal_matrices=None):
     """Full shared geometry stage: transform, assemble, clip, setup.
 
+    ``normal_matrices`` (optional, (M, 3, 3)): per-draw inverse-transpose
+    rotations for world-space normals (needed by the lit pipelines).
     Returns (tri_i32, tri_f32) of static shape (FAN_SLOTS * T, ...).
     """
     clip_pos = transform_positions(xp, positions, matrices, node_ids)
+    if normal_matrices is not None:
+        attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
     tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
     fan, fan_valid = clip_triangles(xp, tris, width, height)
     return setup_triangles(xp, fan, fan_valid, width, height)
@@ -367,6 +402,7 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
 # ---------------------------------------------------------------------------
 
 RASTER_BLOCK = 128  # triangles per raster block (block-skip granularity)
+SUPER_BLOCK = 32  # blocks per superblock (level-1 skip granularity)
 _INT_MAX = 2**31 - 1
 
 
@@ -403,3 +439,33 @@ def block_bounds(xp, tri_i32, block: int = RASTER_BLOCK):
     return xp.stack(
         [jmin, jmax, imin, imax, any_valid, zero, zero, zero], axis=1
     ).astype(xp.int32)
+
+
+def super_bounds(xp, blocks, super_block: int = SUPER_BLOCK):
+    """Level-1 union bboxes over groups of SUPER_BLOCK raster blocks —
+    lets the kernel skip 4096 triangles with 4 scalar loads.  Pads the
+    block table to a superblock multiple with empty blocks; returns
+    (padded_blocks, supers) both (n, 8) int32."""
+    nb = blocks.shape[0]
+    pad = (-nb) % super_block
+    if pad:
+        empty = xp.zeros((pad, 8), xp.int32)
+        if xp is np:
+            empty = empty.copy()
+            empty[:, 0] = 1  # jmin > jmax: empty bbox
+        else:
+            empty = empty.at[:, 0].set(1)
+        blocks = xp.concatenate([blocks, empty], axis=0)
+    ns = blocks.shape[0] // super_block
+    grp = blocks.reshape(ns, super_block, 8)
+    alive = grp[:, :, 4] > 0
+    jmin = xp.where(alive, grp[:, :, 0], _INT_MAX).min(axis=1)
+    jmax = xp.where(alive, grp[:, :, 1], -_INT_MAX).max(axis=1)
+    imin = xp.where(alive, grp[:, :, 2], _INT_MAX).min(axis=1)
+    imax = xp.where(alive, grp[:, :, 3], -_INT_MAX).max(axis=1)
+    any_valid = alive.any(axis=1).astype(xp.int32)
+    zero = xp.zeros_like(jmin)
+    supers = xp.stack(
+        [jmin, jmax, imin, imax, any_valid, zero, zero, zero], axis=1
+    ).astype(xp.int32)
+    return blocks, supers

@@ -37,20 +37,36 @@ TILE_H = 32
 TILE_W = 128
 
 
-def _raster_kernel(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+def _raster_kernel(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                    zbuf, nr, ng, nb, den):
     """One screen tile: loop triangle blocks, keep tile state in VMEM scratch.
 
+    sup_ref: (S, 8) int32 superblock union bboxes (geometry.super_bounds),
     blk_ref: (B, 8) int32 per-block union bboxes (geometry.block_bounds),
     ti_ref: (T, NI32) int32 setup, tf_ref: (T, NF32) f32 setup.
     color_ref: (TILE_H, TILE_W) uint32 out, depth_ref: (TILE_H, TILE_W) f32.
     """
-    _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+    _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                  zbuf, nr, ng, nb, den, row_base=0)
 
 
-def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
-                 zbuf, nr, ng, nb, den, row_base):
+def _gbuffer_kernel(sup_ref, blk_ref, ti_ref, tf_ref,
+                    color_ref, depth_ref, u_ref, v_ref,
+                    nx_ref, ny_ref, nz_ref,
+                    zbuf, nr, ng, nb, den, nu, nv, nnx, nny, nnz):
+    """G-buffer variant: additionally latches the winning triangle's
+    uv and world-space-normal numerators and resolves them to planes —
+    feeds the lit/deferred pipelines (ops/shading.py).  BASELINE.json
+    configs 1-3."""
+    _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den, row_base=0,
+                 gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
+                 gbuf_scratch=(nu, nv, nnx, nny, nnz))
+
+
+def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+                 zbuf, nr, ng, nb, den, row_base,
+                 gbuf_refs=None, gbuf_scratch=None):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     row0 = row_base + tile_i * TILE_H
@@ -67,8 +83,11 @@ def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
     ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    if gbuf_scratch is not None:
+        for buf in gbuf_scratch:
+            buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-    num_blocks = blk_ref.shape[0]
+    num_supers = sup_ref.shape[0]
 
     def tile_overlap(jmin, jmax, imin, imax):
         return (
@@ -79,6 +98,22 @@ def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
             & (jmin <= jmax)
             & (imin <= imax)
         )
+
+    def super_body(sb, carry):
+        # Level-1 binning: one bbox test skips SUPER_BLOCK*RASTER_BLOCK
+        # (4096) triangles — what keeps million-triangle scenes from paying
+        # per-block header costs on every tile.
+        s_overlap = tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+        @pl.when(s_overlap)
+        def _():
+            jax.lax.fori_loop(
+                sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK, block_body, 0
+            )
+
+        return carry
 
     def block_body(bk, carry):
         # Level-0 binning: skip a whole block of RASTER_BLOCK triangles when
@@ -154,10 +189,22 @@ def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                 ef0 * tf_ref[t, g.F_CB0] + ef1 * tf_ref[t, g.F_CB1] + ef2 * tf_ref[t, g.F_CB2],
                 nb[...],
             )
+            if gbuf_scratch is not None:
+                nu, nv, nnx, nny, nnz = gbuf_scratch
+                for buf, c0 in (
+                    (nu, g.F_U0), (nv, g.F_V0),
+                    (nnx, g.F_NX0), (nny, g.F_NY0), (nnz, g.F_NZ0),
+                ):
+                    buf[...] = jnp.where(
+                        ok,
+                        ef0 * tf_ref[t, c0] + ef1 * tf_ref[t, c0 + 1]
+                        + ef2 * tf_ref[t, c0 + 2],
+                        buf[...],
+                    )
 
         return carry
 
-    jax.lax.fori_loop(0, num_blocks, block_body, 0)
+    jax.lax.fori_loop(0, num_supers, super_body, 0)
 
     # Resolve: one perspective divide per pixel, pack RGBA8 into a u32 lane.
     d = den[...]
@@ -177,11 +224,18 @@ def _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
     a = jnp.full((TILE_H, TILE_W), 255, jnp.uint32)
     color_ref[...] = r | (gch << 8) | (b << 16) | (a << 24)
     depth_ref[...] = zbuf[...]
+    if gbuf_refs is not None:
+        nu, nv, nnx, nny, nnz = gbuf_scratch
+        for ref, buf in zip(gbuf_refs, (nu, nv, nnx, nny, nnz)):
+            ref[...] = jnp.where(covered, buf[...] * inv, jnp.float32(0.0))
 
 
-def prepare_raster_inputs(tri_i32, tri_f32):
+def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
     """Compact live triangles to the front, pad to RASTER_BLOCK, and compute
-    per-block union bboxes (the level-0 binning pass, all on device)."""
+    the two-level block/superblock union bboxes (the binning pass, all on
+    device).  ``compact=False`` skips the global stable sort for very large
+    triangle counts — the superblock hierarchy already skips the dead
+    fan-overflow tail because slot-major layout clusters it."""
     t = tri_i32.shape[0]
     pad = (-t) % g.RASTER_BLOCK
     if pad:
@@ -192,13 +246,15 @@ def prepare_raster_inputs(tri_i32, tri_f32):
         tri_f32 = jnp.concatenate(
             [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
         )
-    tri_i32, tri_f32 = g.compact_triangles(jnp, tri_i32, tri_f32)
+    if compact:
+        tri_i32, tri_f32 = g.compact_triangles(jnp, tri_i32, tri_f32)
     blocks = g.block_bounds(jnp, tri_i32)
-    return blocks, tri_i32, tri_f32
+    blocks, supers = g.super_bounds(jnp, blocks)
+    return supers, blocks, tri_i32, tri_f32
 
 
 def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
-                           interpret: bool = False):
+                           interpret: bool = False, compact: bool = True):
     """Rasterize setup buffers from ops.geometry.
 
     tri_i32: (T, NI32) int32, tri_f32: (T, NF32) f32.  width/height must be
@@ -210,12 +266,15 @@ def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
     """
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
-    blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
 
     color, depth = pl.pallas_call(
         _raster_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (S, 8) superblock bboxes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (B, 8) block bboxes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (T, NI32)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole (T, NF32)
@@ -238,16 +297,16 @@ def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # den
         ],
         interpret=interpret,
-    )(blocks, tri_i32, tri_f32)
+    )(supers, blocks, tri_i32, tri_f32)
     return color, depth
 
 
-def _band_kernel(row0_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
-                 zbuf, nr, ng, nb, den):
+def _band_kernel(row0_ref, sup_ref, blk_ref, ti_ref, tf_ref, color_ref,
+                 depth_ref, zbuf, nr, ng, nb, den):
     """Band variant for multi-chip tile sharding: identical to
     _raster_kernel but pixel rows are offset by a per-device scalar
     (the device's band start row) prefetched into SMEM."""
-    _kernel_body(blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
+    _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                  zbuf, nr, ng, nb, den, row_base=row0_ref[0])
 
 
@@ -258,7 +317,7 @@ def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
     assert band_h % TILE_H == 0 and width % TILE_W == 0
     grid = (band_h // TILE_H, width // TILE_W)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
-    blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
 
     color, depth = pl.pallas_call(
         _band_kernel,
@@ -266,6 +325,7 @@ def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -285,8 +345,59 @@ def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
             jax.ShapeDtypeStruct((band_h, width), jnp.float32),
         ],
         interpret=interpret,
-    )(row0_arr, blocks, tri_i32, tri_f32)
+    )(row0_arr, supers, blocks, tri_i32, tri_f32)
     return color, depth
+
+
+def rasterize_gbuffer_pallas(tri_i32, tri_f32, width: int, height: int,
+                             interpret: bool = False, compact: bool = True):
+    """G-buffer raster: returns (color u32, depth, u, v, nx, ny, nz) planes.
+
+    color carries the resolved vertex-rgb (multiplied with the sampled
+    texture at shade time); uv/normal planes feed ops/shading.py.
+    """
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+
+    plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
+    outs = pl.pallas_call(
+        _gbuffer_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 7,
+        out_shape=[
+            plane(jnp.uint32), plane(jnp.float32), plane(jnp.float32),
+            plane(jnp.float32), plane(jnp.float32), plane(jnp.float32),
+            plane(jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(10)
+        ],
+        interpret=interpret,
+    )(supers, blocks, tri_i32, tri_f32)
+    return outs  # color, depth, u, v, nx, ny, nz
+
+
+def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
+                          normal_matrices,
+                          width: int, height: int,
+                          pad_height: int, pad_width: int,
+                          interpret: bool = False):
+    """Geometry pipeline + G-buffer raster; crops to the true viewport."""
+    tri_i32, tri_f32 = g.geometry_pipeline(
+        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
+        normal_matrices=normal_matrices,
+    )
+    outs = rasterize_gbuffer_pallas(
+        tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
+    )
+    return [o[:height, :width] for o in outs]
 
 
 def unpack_rgba8(packed_u32):

@@ -81,6 +81,55 @@ def rasterize_setup_xla(tri_i32, tri_f32, width: int, height: int):
     return resolve(zbuf, nr, ng, nb, den)
 
 
+def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
+    """G-buffer brute-force raster (CPU-testable twin of the Pallas
+    G-buffer kernel): returns (rgba_u8, depth, u, v, nx, ny, nz)."""
+    half = g.SUBPIXEL // 2
+    py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) * g.SUBPIXEL + half
+    px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1) * g.SUBPIXEL + half
+
+    def body(t, state):
+        zbuf, planes = state
+        ti = tri_i32[t]
+        tf = tri_f32[t]
+        e0 = ti[6] * (py - ti[3]) - ti[7] * (px - ti[2])
+        e1 = ti[8] * (py - ti[5]) - ti[9] * (px - ti[4])
+        e2 = ti[10] * (py - ti[1]) - ti[11] * (px - ti[0])
+        cov = (e0 >= ti[12]) & (e1 >= ti[13]) & (e2 >= ti[14]) & (
+            ti[g.I_VALID] > 0
+        )
+        ef0 = e0.astype(jnp.float32)
+        ef1 = e1.astype(jnp.float32)
+        ef2 = e2.astype(jnp.float32)
+        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        ok = cov & (z >= 0.0) & (z < zbuf)
+        zbuf = jnp.where(ok, z, zbuf)
+        new_planes = []
+        for idx, c0 in enumerate(
+            (g.F_RW0, g.F_CR0, g.F_CG0, g.F_CB0, g.F_U0, g.F_V0,
+             g.F_NX0, g.F_NY0, g.F_NZ0)
+        ):
+            num = ef0 * tf[c0] + ef1 * tf[c0 + 1] + ef2 * tf[c0 + 2]
+            new_planes.append(jnp.where(ok, num, planes[idx]))
+        return zbuf, tuple(new_planes)
+
+    shape = (height, width)
+    init_planes = tuple(jnp.zeros(shape, jnp.float32) for _ in range(9))
+    zbuf, planes = jax.lax.fori_loop(
+        0, tri_i32.shape[0], body,
+        (jnp.full(shape, CLEAR_DEPTH, jnp.float32), init_planes),
+    )
+    den, nr, ng, nb, nu, nv, nnx, nny, nnz = planes
+    covered = den > 0
+    inv = jnp.float32(1.0) / jnp.where(covered, den, jnp.float32(1.0))
+
+    rgba, _ = resolve(zbuf, nr, ng, nb, den)
+    out = [pack_u8(rgba), zbuf]
+    for numer in (nu, nv, nnx, nny, nnz):
+        out.append(jnp.where(covered, numer * inv, jnp.float32(0.0)))
+    return tuple(out)
+
+
 def resolve(zbuf, nr, ng, nb, den, clear_rgb=(0.0, 0.0, 0.0)):
     """Latched numerators -> final RGBA (one perspective divide per pixel)."""
     covered = den > 0

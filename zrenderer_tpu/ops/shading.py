@@ -1,0 +1,180 @@
+"""Shading models: Blinn-Phong, GGX PBR, PCF shadows, G-buffer resolve.
+
+These are the pixel-stage programs of the renderer's lit configurations
+(BASELINE.json configs 1-3) — the counterpart of HLSL pixel shaders the
+reference platform would compile (its demo only does vertex-color
+passthrough, uber.hlsl:31-38; the lit paths exercise the *platform
+capability*: pipelines with textures, lights, and depth-only passes).
+
+All functions are plain jnp over (H, W, ...) G-buffer planes: XLA fuses
+them into the frame program.  Deferred lighting over many lights is
+batched so the light loop vectorizes on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from zrenderer_tpu.ops import geometry as g
+
+
+def reconstruct_world_pos(depth_ndc, inv_view_proj, width: int, height: int):
+    """World position from the depth plane — the standard deferred trick.
+
+    depth_ndc: (H, W) z in [0, 1].  inv_view_proj: (4, 4) row-vector
+    inverse of view_proj.  Pixel centers at (j+0.5, i+0.5).
+    """
+    h, w = depth_ndc.shape
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * (2.0 / w) - 1.0
+    ys = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * (2.0 / h)
+    ndc = jnp.stack([xs, ys, depth_ndc, jnp.ones_like(xs)], axis=-1)
+    world = jnp.einsum("hwi,ij->hwj", ndc, inv_view_proj)
+    return world[..., :3] / world[..., 3:4]
+
+
+def blinn_phong(albedo, normal, world_pos, cam_pos, light_pos, light_color,
+                ambient=0.08, specular=0.35, shininess=48.0,
+                attenuation=0.005):
+    """Point-light Blinn-Phong (config 1).  All inputs (H, W, 3) except
+    scalars/3-vectors; returns (H, W, 3) linear RGB."""
+    n = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8
+    )
+    lvec = light_pos - world_pos
+    dist2 = jnp.sum(lvec * lvec, axis=-1, keepdims=True)
+    l = lvec / jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    v = cam_pos - world_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    hvec = l + v
+    hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec, axis=-1, keepdims=True), 1e-8)
+
+    ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    ndoth = jnp.maximum(jnp.sum(n * hvec, axis=-1, keepdims=True), 0.0)
+    atten = 1.0 / (1.0 + attenuation * dist2)
+    diffuse = albedo * ndotl
+    spec = specular * jnp.power(ndoth, shininess) * jnp.sign(ndotl)
+    return (ambient * albedo + (diffuse + spec) * light_color * atten).astype(
+        jnp.float32
+    )
+
+
+# -- GGX / Cook-Torrance (config 3) -------------------------------------------
+
+
+def _ggx_distribution(ndoth, roughness):
+    a = roughness * roughness
+    a2 = a * a
+    d = ndoth * ndoth * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(jnp.pi * d * d, 1e-8)
+
+
+def _smith_ggx(ndotv, ndotl, roughness):
+    k = (roughness + 1.0) ** 2 / 8.0
+    gv = ndotv / (ndotv * (1.0 - k) + k)
+    gl = ndotl / (ndotl * (1.0 - k) + k)
+    return gv * gl
+
+
+def _fresnel_schlick(vdoth, f0):
+    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - vdoth, 0.0, 1.0), 5.0)
+
+
+def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
+                          light_pos, light_color,
+                          metallic=0.0, roughness=0.4, ambient=0.03,
+                          chunk: int = 32):
+    """Cook-Torrance GGX with L point lights, evaluated in light chunks so
+    the (H, W, chunk) broadcast stays VPU-friendly without blowing HBM.
+
+    light_pos/light_color: (L, 3).  Returns (H, W, 3).
+    """
+    n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+    v = cam_pos - world_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    ndotv = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
+    f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+
+    num_lights = light_pos.shape[0]
+    assert num_lights % chunk == 0, "pad light count to the chunk size"
+    num_chunks = num_lights // chunk
+    lp = light_pos.reshape(num_chunks, chunk, 3)
+    lc = light_color.reshape(num_chunks, chunk, 3)
+
+    def body(c, acc):
+        lpos = lp[c]  # (chunk, 3)
+        lcol = lc[c]
+        lvec = lpos[None, None] - world_pos[..., None, :]  # (H, W, chunk, 3)
+        dist2 = jnp.sum(lvec * lvec, axis=-1, keepdims=True)
+        l = lvec * jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+        hv = l + v[..., None, :]
+        hv = hv * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-12)
+        )
+        ndotl = jnp.maximum(jnp.sum(n[..., None, :] * l, axis=-1, keepdims=True), 0.0)
+        ndoth = jnp.maximum(jnp.sum(n[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
+        vdoth = jnp.maximum(jnp.sum(v[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
+
+        d = _ggx_distribution(ndoth, roughness)
+        gs = _smith_ggx(ndotv[..., None, :], ndotl, roughness)
+        f = _fresnel_schlick(vdoth, f0[..., None, :])
+        spec = d * gs * f / jnp.maximum(4.0 * ndotv[..., None, :] * ndotl, 1e-4)
+        kd = (1.0 - f) * (1.0 - metallic)
+        radiance = lcol[None, None] / jnp.maximum(dist2, 1e-4)
+        contrib = (kd * albedo[..., None, :] / jnp.pi + spec) * radiance * ndotl
+        return acc + contrib.sum(axis=-2)
+
+    acc = jnp.zeros_like(albedo)
+    acc = jax.lax.fori_loop(0, num_chunks, body, acc)
+    return (ambient * albedo + acc).astype(jnp.float32)
+
+
+# -- Shadows (config 2) --------------------------------------------------------
+
+
+def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
+                      bias: float = 2e-3, taps: int = 1):
+    """Percentage-closer filtering against a depth-only shadow map.
+
+    shadow_depth: (Sh, Sw) z in [0, 1] from the light's pass;
+    light_view_proj: (4, 4) row-vector.  Returns (H, W) in [0, 1]
+    (1 = fully lit).  (2*taps+1)^2 kernel.
+    """
+    sh, sw = shadow_depth.shape
+    clip = jnp.einsum(
+        "hwi,ij->hwj",
+        jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1),
+        light_view_proj,
+    )
+    ndc = clip[..., :3] / jnp.maximum(clip[..., 3:4], 1e-8)
+    sx = (ndc[..., 0] + 1.0) * (sw * 0.5)
+    sy = (1.0 - ndc[..., 1]) * (sh * 0.5)
+    z = ndc[..., 2]
+
+    ix = jnp.clip(sx.astype(jnp.int32), 0, sw - 1)
+    iy = jnp.clip(sy.astype(jnp.int32), 0, sh - 1)
+    total = jnp.zeros(z.shape, jnp.float32)
+    count = (2 * taps + 1) ** 2
+    flat = shadow_depth.reshape(-1)
+    for dy in range(-taps, taps + 1):
+        for dx in range(-taps, taps + 1):
+            tx = jnp.clip(ix + dx, 0, sw - 1)
+            ty = jnp.clip(iy + dy, 0, sh - 1)
+            # Single-axis gather (see ops/sampling.py:_gather_level).
+            occluder = jnp.take(flat, ty * sw + tx, axis=0)
+            total = total + (z - bias <= occluder).astype(jnp.float32)
+    lit = total / count
+    inside = (
+        (ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
+        & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1)
+        & (z >= 0) & (z <= 1)
+    )
+    return jnp.where(inside, lit, 1.0)
+
+
+def tonemap_and_pack(rgb, covered, clear_rgb=(0.0, 0.0, 0.0)):
+    """Clamp-tonemap and pack to u8 with the spec's rounding (§4)."""
+    c = jnp.where(covered[..., None], rgb, jnp.asarray(clear_rgb, jnp.float32))
+    c = jnp.clip(c, 0.0, 1.0)
+    rgba = jnp.concatenate([c, jnp.ones_like(c[..., :1])], axis=-1)
+    return jnp.floor(rgba * jnp.float32(255.0) + jnp.float32(0.5)).astype(jnp.uint8)

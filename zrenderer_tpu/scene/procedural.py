@@ -95,6 +95,61 @@ def make_test_scene() -> tuple:
     return scene, mesh_data
 
 
+def make_stress_scene(num_triangles: int = 1_000_000, seed: int = 0) -> tuple:
+    """Large-scene stress fixture (BASELINE.json config 4): a dense grid of
+    colored cubes baked into one mesh, ~num_triangles triangles, ordered
+    row-major so consecutive raster blocks stay spatially coherent (what
+    the block/superblock union-bbox binning exploits).
+
+    Built fully vectorized — 83k cubes assemble in milliseconds.
+    """
+    rng = np.random.default_rng(seed)
+    cubes = max(1, num_triangles // 12)
+    side = int(np.ceil(cubes ** (1.0 / 3.0)))
+    grid = np.stack(
+        np.meshgrid(np.arange(side), np.arange(side), np.arange(side),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)[:cubes]
+    spacing = 2.6
+    centers = (grid - (side - 1) / 2.0) * spacing  # centered lattice
+
+    # One canonical cube (24 verts, 36 indices), tiled per cube.
+    base_md = MeshData()
+    make_cube_mesh(base_md, size=1.0)
+    base_verts = base_md.vertices_of(base_md.meshes[0])  # (24, 16)
+    base_idx = base_md.indices_of(base_md.meshes[0]).astype(np.int64)  # (36,)
+
+    verts = np.tile(base_verts, (cubes, 1)).reshape(cubes, 24, 16)
+    verts[:, :, 0:3] += centers[:, None, :].astype(np.float32)
+    colors = rng.uniform(0.1, 1.0, (cubes, 1, 3)).astype(np.float32)
+    verts[:, :, 5:8] = colors  # per-cube flat color
+    verts[:, :, 8] = 1.0
+    verts = verts.reshape(cubes * 24, 16)
+
+    idx = (base_idx[None, :] + (np.arange(cubes) * 24)[:, None]).reshape(-1)
+    mesh_data = MeshData()
+    mesh_data.append_mesh(verts, idx.astype(np.uint32))
+
+    scene = Scene()
+    scene.nodes.append(Node(mesh_indices=[0], transform_index=0, name="lattice"))
+    scene.transforms.append(zm.identity())
+    dist = side * spacing * 1.35
+    eye = np.array([dist * 0.55, dist * 0.4, dist], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    scene.cameras.append(
+        Camera(
+            position=eye,
+            forward=fwd.astype(np.float32),
+            yfov=0.9,
+            znear=0.5,
+            zfar=float(6 * dist),
+            name="stress-cam",
+        )
+    )
+    return scene, mesh_data
+
+
 def make_triangle_soup(
     num_triangles: int,
     seed: int = 0,
