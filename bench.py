@@ -20,6 +20,7 @@ import numpy as np
 
 def main() -> int:
     os.environ.setdefault("ZRENDERER_QUIET", "1")
+    verify = "--verify" in sys.argv
     import jax
 
     from zrenderer_tpu.engine.config import RenderConfig
@@ -62,6 +63,18 @@ def main() -> int:
     # Sanity: frame must actually contain the scene.
     coverage = (img[..., 0:3].sum(axis=-1) > 0).mean()
     assert coverage > 0.05, f"benchmark frame empty (coverage={coverage})"
+
+    if verify:
+        # Full-pipeline parity vs the CPU oracle (docs/RASTER_SPEC.md §5).
+        import numpy as np
+
+        from zrenderer_tpu.raster_ref import render_scene_cpu
+
+        img_cpu, _ = render_scene_cpu(scene, mesh_data, 1920, 1080)
+        diff = np.abs(img.astype(np.int32) - img_cpu.astype(np.int32))
+        bad = (diff > 0).sum()
+        assert diff.max() <= 1 and bad < 100, (diff.max(), bad)
+        print(f"# parity vs oracle: {bad} px differ by <=1 LSB", file=sys.stderr)
 
     tris = renderer.flat.num_triangles
     print(

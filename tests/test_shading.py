@@ -134,7 +134,7 @@ def test_deferred_pipeline_256_lights():
     rng = np.random.default_rng(1)
     lights = (
         rng.uniform(-6, 6, (256, 3)).astype(np.float32) + [0, 4, 6],
-        np.full((256, 3), 0.02, np.float32),
+        np.full((256, 3), 0.06, np.float32),
     )
     r = _renderer("deferred", lights=lights)
     img, depth = r.render_and_read()

@@ -23,6 +23,18 @@ from zrenderer_tpu.ops import geometry as g
 CLEAR_DEPTH = 1.0
 
 
+def _ob(x):
+    """Rounding barrier (see ops/geometry.py:_ob): pins each product to f32
+    before the summing adds so XLA:CPU cannot FMA-contract where the NumPy
+    oracle rounds.  Keeps raster-stage depth/color bit-exact vs the oracle
+    on every backend."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _interp(ef0, ef1, ef2, c0, c1, c2):
+    return (_ob(ef0 * c0) + _ob(ef1 * c1)) + _ob(ef2 * c2)
+
+
 def rasterize_setup_xla(tri_i32, tri_f32, width: int, height: int):
     """Rasterize pre-setup triangles; returns (rgba f32 (H,W,4), depth)."""
     half = g.SUBPIXEL // 2
@@ -52,21 +64,21 @@ def rasterize_setup_xla(tri_i32, tri_f32, width: int, height: int):
         ef0 = e0.astype(jnp.float32)
         ef1 = e1.astype(jnp.float32)
         ef2 = e2.astype(jnp.float32)
-        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        z = _interp(ef0, ef1, ef2, tf[g.F_ZA0], tf[g.F_ZA1], tf[g.F_ZA2])
         ok = cov & (z >= 0.0) & (z < zbuf)
 
         zbuf = jnp.where(ok, z, zbuf)
         den = jnp.where(
-            ok, ef0 * tf[g.F_RW0] + ef1 * tf[g.F_RW1] + ef2 * tf[g.F_RW2], den
+            ok, _interp(ef0, ef1, ef2, tf[g.F_RW0], tf[g.F_RW1], tf[g.F_RW2]), den
         )
         nr = jnp.where(
-            ok, ef0 * tf[g.F_CR0] + ef1 * tf[g.F_CR1] + ef2 * tf[g.F_CR2], nr
+            ok, _interp(ef0, ef1, ef2, tf[g.F_CR0], tf[g.F_CR1], tf[g.F_CR2]), nr
         )
         ng = jnp.where(
-            ok, ef0 * tf[g.F_CG0] + ef1 * tf[g.F_CG1] + ef2 * tf[g.F_CG2], ng
+            ok, _interp(ef0, ef1, ef2, tf[g.F_CG0], tf[g.F_CG1], tf[g.F_CG2]), ng
         )
         nb = jnp.where(
-            ok, ef0 * tf[g.F_CB0] + ef1 * tf[g.F_CB1] + ef2 * tf[g.F_CB2], nb
+            ok, _interp(ef0, ef1, ef2, tf[g.F_CB0], tf[g.F_CB1], tf[g.F_CB2]), nb
         )
         return zbuf, nr, ng, nb, den
 
@@ -101,7 +113,7 @@ def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
         ef0 = e0.astype(jnp.float32)
         ef1 = e1.astype(jnp.float32)
         ef2 = e2.astype(jnp.float32)
-        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        z = _interp(ef0, ef1, ef2, tf[g.F_ZA0], tf[g.F_ZA1], tf[g.F_ZA2])
         ok = cov & (z >= 0.0) & (z < zbuf)
         zbuf = jnp.where(ok, z, zbuf)
         new_planes = []
@@ -109,7 +121,7 @@ def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
             (g.F_RW0, g.F_CR0, g.F_CG0, g.F_CB0, g.F_U0, g.F_V0,
              g.F_NX0, g.F_NY0, g.F_NZ0)
         ):
-            num = ef0 * tf[c0] + ef1 * tf[c0 + 1] + ef2 * tf[c0 + 2]
+            num = _interp(ef0, ef1, ef2, tf[c0], tf[c0 + 1], tf[c0 + 2])
             new_planes.append(jnp.where(ok, num, planes[idx]))
         return zbuf, tuple(new_planes)
 

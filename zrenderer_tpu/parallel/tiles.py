@@ -52,13 +52,14 @@ def _band_raster_xla(tri_i32, tri_f32, width, band_h, row_offset):
         ef0 = e0.astype(jnp.float32)
         ef1 = e1.astype(jnp.float32)
         ef2 = e2.astype(jnp.float32)
-        z = ef0 * tf[g.F_ZA0] + ef1 * tf[g.F_ZA1] + ef2 * tf[g.F_ZA2]
+        it = raster_xla._interp
+        z = it(ef0, ef1, ef2, tf[g.F_ZA0], tf[g.F_ZA1], tf[g.F_ZA2])
         ok = cov & (z >= 0.0) & (z < zbuf)
         zbuf = jnp.where(ok, z, zbuf)
-        den = jnp.where(ok, ef0 * tf[g.F_RW0] + ef1 * tf[g.F_RW1] + ef2 * tf[g.F_RW2], den)
-        nr = jnp.where(ok, ef0 * tf[g.F_CR0] + ef1 * tf[g.F_CR1] + ef2 * tf[g.F_CR2], nr)
-        ng = jnp.where(ok, ef0 * tf[g.F_CG0] + ef1 * tf[g.F_CG1] + ef2 * tf[g.F_CG2], ng)
-        nb = jnp.where(ok, ef0 * tf[g.F_CB0] + ef1 * tf[g.F_CB1] + ef2 * tf[g.F_CB2], nb)
+        den = jnp.where(ok, it(ef0, ef1, ef2, tf[g.F_RW0], tf[g.F_RW1], tf[g.F_RW2]), den)
+        nr = jnp.where(ok, it(ef0, ef1, ef2, tf[g.F_CR0], tf[g.F_CR1], tf[g.F_CR2]), nr)
+        ng = jnp.where(ok, it(ef0, ef1, ef2, tf[g.F_CG0], tf[g.F_CG1], tf[g.F_CG2]), ng)
+        nb = jnp.where(ok, it(ef0, ef1, ef2, tf[g.F_CB0], tf[g.F_CB1], tf[g.F_CB2]), nb)
         return zbuf, nr, ng, nb, den
 
     shape = (band_h, width)
@@ -112,7 +113,10 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
             return rp.unpack_rgba8(color), depth
         return _band_raster_xla(ti, tf, width, band_h, row0)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     sharded = shard_map(
         step,
