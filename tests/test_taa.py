@@ -1,0 +1,53 @@
+"""TAA resolve tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zrenderer_tpu.ops import taa
+
+
+def test_halton_sequence_properties():
+    j = taa.jitter_sequence(16)
+    assert j.shape == (16, 2)
+    assert (np.abs(j) <= 0.5).all()
+    assert len(np.unique(j[:, 0])) == 16  # well-distributed, no repeats
+
+
+def test_jittered_projection_shifts_ndc():
+    from zrenderer_tpu.math import zmath as zm
+
+    vp = zm.mul(
+        zm.look_at_rh(zm.vec3(0, 0, 5), zm.vec3(0, 0, 0), zm.vec3(0, 1, 0)),
+        zm.perspective_fov_rh(0.8, 1.0, 0.1, 100.0),
+    )
+    jvp = taa.jittered_view_proj(vp, (0.5, 0.0), 100, 100)
+    p = np.array([0.3, -0.2, 0.0, 1.0], np.float32)
+    a = p @ vp
+    b = p @ jvp
+    # x shifts by exactly 2*jitter/width in NDC; y and z unchanged.
+    assert (b[0] / b[3] - a[0] / a[3]) == pytest.approx(0.01, abs=1e-6)
+    assert (b[1] / b[3]) == pytest.approx(a[1] / a[3], abs=1e-6)
+    assert b[3] == pytest.approx(a[3])
+
+
+def test_taa_converges_and_clamps():
+    rng = np.random.default_rng(0)
+    h, w = 16, 32
+    stable = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
+    stable[..., 3] = 255
+    history = stable[..., :3].astype(np.float32) / 255.0
+
+    # Feeding the same frame repeatedly is a fixed point.
+    new_hist, resolved = taa.taa_resolve(jnp.asarray(history), jnp.asarray(stable))
+    np.testing.assert_allclose(np.asarray(new_hist), history, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(resolved), stable)
+
+    # A disoccluded pixel (history wildly off) gets clamped to the current
+    # neighborhood instead of ghosting.
+    bad_hist = history.copy()
+    bad_hist[8, 16] = 25.0
+    new_hist, _ = taa.taa_resolve(jnp.asarray(bad_hist), jnp.asarray(stable))
+    nh = np.asarray(new_hist)
+    assert nh[8, 16].max() <= 1.0

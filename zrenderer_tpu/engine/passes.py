@@ -63,20 +63,19 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
                     texture, interpret=False):
     """Config 1: textured + Blinn-Phong point light, Z-buffered."""
 
-    def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
-              light_pos, light_color):
+    th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
+    levels = texture.num_levels
+
+    def frame(b, tex_atlas_u32, matrices, normal_mats, inv_view_proj,
+              cam_pos, light_pos, light_color):
         rgba, depth, u, v, nx, ny, nz = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
             pad_height, pad_width, interpret,
         )
         covered = depth < 1.0
         uv = jnp.stack([u, v], axis=-1)
-        lod = sampling.mip_level_from_derivatives(
-            uv, (texture.sizes[0, 0], texture.sizes[0, 1]), texture.num_levels
-        )
-        tex = sampling.sample_trilinear(
-            texture.atlas, texture.offsets, texture.sizes, uv, lod
-        )
+        lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
+        tex = sampling.sample_trilinear(tex_atlas_u32, th, tw, levels, uv, lod)
         albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
         normal = jnp.stack([nx, ny, nz], axis=-1)
         world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
@@ -92,8 +91,12 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
                          texture, shadow_size=1024, interpret=False):
     """Config 2: directional light shadow map (depth-only pass + PCF)."""
 
-    def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
-              light_matrices, light_view_proj, light_dir, light_color):
+    th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
+    levels = texture.num_levels
+
+    def frame(b, tex_atlas_u32, matrices, normal_mats, inv_view_proj,
+              cam_pos, light_matrices, light_view_proj, light_dir,
+              light_color):
         shadow_depth = _depth_only(
             backend, b, light_matrices, shadow_size, interpret
         )
@@ -103,12 +106,8 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
         )
         covered = depth < 1.0
         uv = jnp.stack([u, v], axis=-1)
-        lod = sampling.mip_level_from_derivatives(
-            uv, (texture.sizes[0, 0], texture.sizes[0, 1]), texture.num_levels
-        )
-        tex = sampling.sample_trilinear(
-            texture.atlas, texture.offsets, texture.sizes, uv, lod
-        )
+        lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
+        tex = sampling.sample_trilinear(tex_atlas_u32, th, tw, levels, uv, lod)
         albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
         normal = jnp.stack([nx, ny, nz], axis=-1)
         n = normal / jnp.maximum(

