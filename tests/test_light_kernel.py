@@ -1,0 +1,92 @@
+"""Tiled deferred-lighting kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zrenderer_tpu.math import zmath as zm
+from zrenderer_tpu.ops.light_kernel import (
+    TILE_H,
+    TILE_W,
+    light_screen_bounds,
+    tiled_deferred_lighting,
+)
+
+
+def _vp(width, height):
+    view = zm.look_at_rh(zm.vec3(0, 0, 10), zm.vec3(0, 0, 0), zm.vec3(0, 1, 0))
+    proj = zm.perspective_fov_rh(0.8, width / height, 0.1, 100.0)
+    return jnp.asarray(zm.mul(view, proj))
+
+
+def test_light_screen_bounds_center_light():
+    vp = _vp(128, 64)
+    pos = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    col = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+    b = np.asarray(light_screen_bounds(pos, col, vp, 128, 64))
+    jmin, jmax, imin, imax = b[0]
+    # A light at the view center must cover the screen center.
+    assert jmin <= 64 <= jmax and imin <= 32 <= imax
+    assert 0 <= jmin <= jmax <= 127 and 0 <= imin <= imax <= 63
+
+
+def test_light_behind_camera_is_conservative():
+    vp = _vp(128, 64)
+    pos = jnp.asarray([[0.0, 0.0, 20.0]], jnp.float32)  # behind the eye
+    col = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    b = np.asarray(light_screen_bounds(pos, col, vp, 128, 64))
+    assert (b[0] == [0, 127, 0, 63]).all()  # full screen
+
+
+def test_tiled_lighting_interpret_basic():
+    h, w = TILE_H, TILE_W
+    albedo = jnp.full((h, w, 3), 0.5, jnp.float32)
+    normal = jnp.asarray(np.tile([0, 0, 1.0], (h, w, 1)).astype(np.float32))
+    world = jnp.zeros((h, w, 3), jnp.float32)
+    covered = jnp.ones((h, w), bool)
+    lights = jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32)
+    colors = jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32)
+    vp = _vp(w, h)
+    rgb = np.asarray(
+        tiled_deferred_lighting(
+            albedo, normal, world, covered,
+            jnp.asarray([0.0, 0.0, 5.0]), lights, colors, vp,
+            interpret=True,
+        )
+    )
+    assert rgb.shape == (h, w, 3)
+    # Red light head-on: red channel lit well above ambient, green near ambient.
+    assert rgb[:, :, 0].max() > 0.15
+    assert rgb[:, :, 1].max() < 0.05
+    # Uncovered pixels are zeroed.
+    covered2 = covered.at[0, 0].set(False)
+    rgb2 = np.asarray(
+        tiled_deferred_lighting(
+            albedo, normal, world, covered2,
+            jnp.asarray([0.0, 0.0, 5.0]), lights, colors, vp,
+            interpret=True,
+        )
+    )
+    assert (rgb2[0, 0] == 0).all()
+
+
+def test_culled_light_does_not_contribute():
+    h, w = TILE_H, TILE_W
+    albedo = jnp.full((h, w, 3), 0.5, jnp.float32)
+    normal = jnp.asarray(np.tile([0, 0, 1.0], (h, w, 1)).astype(np.float32))
+    world = jnp.zeros((h, w, 3), jnp.float32)
+    covered = jnp.ones((h, w), bool)
+    # A dim light far off-screen to the right: its bbox misses the only tile.
+    lights = jnp.asarray([[500.0, 0.0, 0.0]], jnp.float32)
+    colors = jnp.asarray([[0.01, 0.01, 0.01]], jnp.float32)
+    vp = _vp(w, h)
+    rgb = np.asarray(
+        tiled_deferred_lighting(
+            albedo, normal, world, covered,
+            jnp.asarray([0.0, 0.0, 5.0]), lights, colors, vp,
+            ambient=0.03, interpret=True,
+        )
+    )
+    # Ambient only.
+    np.testing.assert_allclose(rgb, 0.03 * 0.5, atol=1e-5)

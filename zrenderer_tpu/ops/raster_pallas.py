@@ -253,6 +253,198 @@ def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
     return supers, blocks, tri_i32, tri_f32
 
 
+# Above this triangle-slot count the setup arrays stay in HBM and the
+# kernel DMAs overlapping blocks into VMEM scratch (they no longer fit in
+# the ~16 MB of VMEM as whole-array inputs).
+VMEM_RESIDENT_MAX_TRIS = 32768
+
+
+def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
+                zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems):
+    """Large-scene variant: triangle setup stays in HBM as FLATTENED 1D
+    arrays (HBM DMA slices need 128-aligned minor dims, so (T, 20) slabs
+    cannot be sliced directly); blocks whose union bbox overlaps the tile
+    are DMA'd into SMEM slabs (scalar reads from SMEM have no lane-alignment
+    restrictions).  Block/superblock bbox tables are small and stay VMEM."""
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = (row0 + iy) * g.SUBPIXEL + half
+    px = (col0 + ix) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    nr[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
+            (jmax >= col0)
+            & (jmin < col0 + TILE_W)
+            & (imax >= row0)
+            & (imin < row0 + TILE_H)
+            & (jmin <= jmax)
+            & (imin <= imax)
+        )
+
+    def tri_body(t, carry):
+        ib = t * g.NI32  # flattened base offset into the SMEM int slab
+        fb = t * g.NF32
+        overlap = tile_overlap(
+            ti_buf[ib + g.I_JMIN], ti_buf[ib + g.I_JMAX],
+            ti_buf[ib + g.I_IMIN], ti_buf[ib + g.I_IMAX],
+        )
+
+        @pl.when(overlap)
+        def _():
+            e0 = ti_buf[ib + g.I_DX0] * (py - ti_buf[ib + g.I_Y1]) - \
+                 ti_buf[ib + g.I_DY0] * (px - ti_buf[ib + g.I_X1])
+            e1 = ti_buf[ib + g.I_DX1] * (py - ti_buf[ib + g.I_Y2]) - \
+                 ti_buf[ib + g.I_DY1] * (px - ti_buf[ib + g.I_X2])
+            e2 = ti_buf[ib + g.I_DX2] * (py - ti_buf[ib + g.I_Y0]) - \
+                 ti_buf[ib + g.I_DY2] * (px - ti_buf[ib + g.I_X0])
+            cov = (
+                (e0 >= ti_buf[ib + g.I_BIAS0])
+                & (e1 >= ti_buf[ib + g.I_BIAS1])
+                & (e2 >= ti_buf[ib + g.I_BIAS2])
+            )
+            ef0 = e0.astype(jnp.float32)
+            ef1 = e1.astype(jnp.float32)
+            ef2 = e2.astype(jnp.float32)
+            z = ef0 * tf_buf[fb + g.F_ZA0] + ef1 * tf_buf[fb + g.F_ZA1] \
+                + ef2 * tf_buf[fb + g.F_ZA2]
+            zb = zbuf[...]
+            ok = cov & (z >= 0.0) & (z < zb)
+            zbuf[...] = jnp.where(ok, z, zb)
+            den[...] = jnp.where(
+                ok,
+                ef0 * tf_buf[fb + g.F_RW0] + ef1 * tf_buf[fb + g.F_RW1]
+                + ef2 * tf_buf[fb + g.F_RW2],
+                den[...],
+            )
+            nr[...] = jnp.where(
+                ok,
+                ef0 * tf_buf[fb + g.F_CR0] + ef1 * tf_buf[fb + g.F_CR1]
+                + ef2 * tf_buf[fb + g.F_CR2],
+                nr[...],
+            )
+            ng[...] = jnp.where(
+                ok,
+                ef0 * tf_buf[fb + g.F_CG0] + ef1 * tf_buf[fb + g.F_CG1]
+                + ef2 * tf_buf[fb + g.F_CG2],
+                ng[...],
+            )
+            nb[...] = jnp.where(
+                ok,
+                ef0 * tf_buf[fb + g.F_CB0] + ef1 * tf_buf[fb + g.F_CB1]
+                + ef2 * tf_buf[fb + g.F_CB2],
+                nb[...],
+            )
+
+        return carry
+
+    def block_body(bk, carry):
+        b_overlap = tile_overlap(
+            blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
+        )
+
+        @pl.when(b_overlap)
+        def _():
+            t0 = bk * g.RASTER_BLOCK
+            cp_i = pltpu.make_async_copy(
+                ti_hbm.at[pl.ds(t0 * g.NI32, g.RASTER_BLOCK * g.NI32)],
+                ti_buf, dma_sems.at[0],
+            )
+            cp_f = pltpu.make_async_copy(
+                tf_hbm.at[pl.ds(t0 * g.NF32, g.RASTER_BLOCK * g.NF32)],
+                tf_buf, dma_sems.at[1],
+            )
+            cp_i.start()
+            cp_f.start()
+            cp_i.wait()
+            cp_f.wait()
+            jax.lax.fori_loop(0, g.RASTER_BLOCK, tri_body, 0)
+
+        return carry
+
+    def super_body(sb, carry):
+        s_overlap = tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+        @pl.when(s_overlap)
+        def _():
+            jax.lax.fori_loop(
+                sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK, block_body, 0
+            )
+
+        return carry
+
+    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, 0)
+
+    d = den[...]
+    covered = d > 0
+    inv = jnp.float32(1.0) / jnp.where(covered, d, jnp.float32(1.0))
+
+    def chan(numer):
+        c = jnp.where(covered, numer * inv, jnp.float32(0.0))
+        c = jnp.clip(c, 0.0, 1.0)
+        q = jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5))
+        return q.astype(jnp.int32).astype(jnp.uint32)
+
+    a = jnp.full((TILE_H, TILE_W), 255, jnp.uint32)
+    color_ref[...] = (
+        chan(nr[...]) | (chan(ng[...]) << 8) | (chan(nb[...]) << 16) | (a << 24)
+    )
+    depth_ref[...] = zbuf[...]
+
+
+def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
+                               interpret: bool = False, compact: bool = True):
+    """HBM-streaming raster for large triangle counts."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+
+    color, depth = pl.pallas_call(
+        _hbm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ti in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tf in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.uint32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(5)
+        ] + [
+            pltpu.SMEM((g.RASTER_BLOCK * g.NI32,), jnp.int32),
+            pltpu.SMEM((g.RASTER_BLOCK * g.NF32,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(supers, blocks, tri_i32.reshape(-1), tri_f32.reshape(-1))
+    return color, depth
+
+
 def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
                            interpret: bool = False, compact: bool = True):
     """Rasterize setup buffers from ops.geometry.
@@ -421,12 +613,19 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     """Full frame: shared geometry pipeline + Pallas raster.
 
     Geometry runs at the true (width, height) viewport; the raster target is
-    padded to tile multiples and cropped by the caller.
+    padded to tile multiples and cropped by the caller.  Large scenes
+    (> VMEM_RESIDENT_MAX_TRIS slots) automatically stream triangle data
+    from HBM; small scenes keep it VMEM-resident.
     """
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height
     )
-    color, depth = rasterize_setup_pallas(
+    raster = (
+        rasterize_setup_pallas
+        if tri_i32.shape[0] <= VMEM_RESIDENT_MAX_TRIS
+        else rasterize_setup_pallas_hbm
+    )
+    color, depth = raster(
         tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
     )
     return color[:height, :width], depth[:height, :width]
