@@ -8,3 +8,17 @@ multi-chip frames shard screen tiles over ICI via shard_map.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (keep `import zrenderer_tpu` light —
+    # importing the engine pulls in jax).
+    if name in ("Renderer", "RenderConfig", "Texture", "FrameStats"):
+        from zrenderer_tpu import engine
+
+        return getattr(engine, name)
+    if name in ("Scene", "MeshData", "Camera", "Node", "Mobility"):
+        from zrenderer_tpu import scene
+
+        return getattr(scene, name)
+    raise AttributeError(name)

@@ -258,6 +258,10 @@ def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
 # the ~16 MB of VMEM as whole-array inputs).
 VMEM_RESIDENT_MAX_TRIS = 32768
 
+# 1D HBM DMA slices must align to the 1024-element tile; pad the int record
+# stride so a RASTER_BLOCK slab (128 * stride) is 1024-aligned.
+I32_STRIDE_HBM = 24  # NI32=20 padded; 128*24 = 3072 = 3*1024
+
 
 def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
                 zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems):
@@ -294,7 +298,7 @@ def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
         )
 
     def tri_body(t, carry):
-        ib = t * g.NI32  # flattened base offset into the SMEM int slab
+        ib = t * I32_STRIDE_HBM  # flattened base into the SMEM int slab
         fb = t * g.NF32
         overlap = tile_overlap(
             ti_buf[ib + g.I_JMIN], ti_buf[ib + g.I_JMAX],
@@ -358,7 +362,8 @@ def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
         def _():
             t0 = bk * g.RASTER_BLOCK
             cp_i = pltpu.make_async_copy(
-                ti_hbm.at[pl.ds(t0 * g.NI32, g.RASTER_BLOCK * g.NI32)],
+                ti_hbm.at[pl.ds(t0 * I32_STRIDE_HBM,
+                                g.RASTER_BLOCK * I32_STRIDE_HBM)],
                 ti_buf, dma_sems.at[0],
             )
             cp_f = pltpu.make_async_copy(
@@ -436,12 +441,17 @@ def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(5)
         ] + [
-            pltpu.SMEM((g.RASTER_BLOCK * g.NI32,), jnp.int32),
+            pltpu.SMEM((g.RASTER_BLOCK * I32_STRIDE_HBM,), jnp.int32),
             pltpu.SMEM((g.RASTER_BLOCK * g.NF32,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(supers, blocks, tri_i32.reshape(-1), tri_f32.reshape(-1))
+    )(
+        supers,
+        blocks,
+        jnp.pad(tri_i32, ((0, 0), (0, I32_STRIDE_HBM - g.NI32))).reshape(-1),
+        tri_f32.reshape(-1),
+    )
     return color, depth
 
 

@@ -111,6 +111,26 @@ def make_stress_scene(num_triangles: int = 1_000_000, seed: int = 0) -> tuple:
                     indexing="ij"),
         axis=-1,
     ).reshape(-1, 3)[:cubes]
+
+    # Morton (Z-order) the cubes: consecutive triangles then occupy compact
+    # 3D clusters, so raster-block union bboxes stay small on screen — the
+    # property the block/superblock binning exploits (the spatial-order
+    # preprocessing role meshoptimizer plays in the reference's toolchain).
+    def _spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    morton = (
+        _spread(grid[:, 0]) | (_spread(grid[:, 1]) << np.uint64(1))
+        | (_spread(grid[:, 2]) << np.uint64(2))
+    )
+    grid = grid[np.argsort(morton)]
+
     spacing = 2.6
     centers = (grid - (side - 1) / 2.0) * spacing  # centered lattice
 
