@@ -59,3 +59,15 @@ def test_scene_outliner_lists_nodes():
     scene, _ = make_test_scene()
     text = scene_outliner(scene)
     assert "Cube" in text and "Cube.002" in text
+
+
+def test_app_taa_smooths_frames(scene_dir, tmp_path):
+    rc = app_main([
+        "--scene", str(scene_dir), "--width", "128", "--height", "64",
+        "--frames", "4", "--out", str(tmp_path), "--backend", "xla",
+        "--taa",
+    ])
+    assert rc == 0
+    img = read_png(tmp_path / "frame_0003.png")
+    assert img.shape == (64, 128, 4)
+    assert (img[..., :3].sum(axis=-1) > 0).mean() > 0.1

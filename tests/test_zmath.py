@@ -369,3 +369,166 @@ def test_camera_forward_from_gltf_quats():
     assert fwd[2] < 0  # still looking forward (-Z-ish)
     assert fwd[1] < 0  # pitched down toward the scene
     assert abs(fwd[0]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# extended coverage (matching the reference's 65-test zmath density)
+# ---------------------------------------------------------------------------
+
+
+def test_vec3_and_splat():
+    assert approx(zm.vec3(1, 2, 3), [1, 2, 3, 0])
+    assert approx(zm.splat(2.5), [2.5] * 4)
+
+
+def test_length3():
+    assert zm.length3(zm.vec3(2, 3, 6)) == pytest.approx(7.0)
+
+
+def test_normalize3_divides_w_like_zmath():
+    # zmath's normalize3 divides the whole register by the 3-length.
+    v = zm.f32x4(3, 0, 4, 10)
+    n = zm.normalize3(v)
+    assert n[3] == pytest.approx(2.0)
+
+
+def test_translation_v_and_scaling_v():
+    assert approx(zm.translation_v((1, 2, 3)), zm.translation(1, 2, 3))
+    assert approx(zm.scaling_v((2, 3, 4)), zm.scaling(2, 3, 4))
+
+
+def test_store_mat_roundtrip():
+    m = zm.translation(5, 6, 7)
+    assert approx(zm.load_mat(zm.store_mat(m)), m)
+
+
+def test_rotation_composition_matches_quat_composition():
+    rx, ry = 0.4, -0.9
+    m = zm.mul(zm.rotation_x(rx), zm.rotation_y(ry))
+    q = zm.qmul(
+        zm.quat_from_norm_axis_angle((1, 0, 0), rx),
+        zm.quat_from_norm_axis_angle((0, 1, 0), ry),
+    )
+    assert approx(m, zm.mat_from_quat(q), 1e-5)
+
+
+def test_look_to_rh_negates_direction():
+    eye = zm.vec3(1, 2, 3)
+    d = zm.vec3(0, 0, -1)
+    assert approx(zm.look_to_rh(eye, d, zm.vec3(0, 1, 0)),
+                  zm.look_to_lh(eye, -d, zm.vec3(0, 1, 0)))
+
+
+def test_look_at_lh_looks_down_positive_z():
+    m = zm.look_at_lh(zm.vec3(0, 0, -5), zm.vec3(0, 0, 0), zm.vec3(0, 1, 0))
+    p = zm.mul(zm.f32x4(0, 0, 0, 1), m)
+    assert approx(p, [0, 0, 5, 1], 1e-5)
+
+
+def test_orthographic_lh_mapping():
+    m = zm.orthographic_lh(4.0, 2.0, 1.0, 11.0)
+    p = zm.mul(zm.f32x4(2, 1, 1, 1), m)
+    assert approx(p, [1, 1, 0, 1], 1e-5)
+    p = zm.mul(zm.f32x4(0, 0, 11, 1), m)
+    assert p[2] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_perspective_lh_rh_mirror():
+    # LH and RH projections agree for mirrored view-space z.
+    lh = zm.perspective_fov_lh(0.7, 1.5, 0.2, 20.0)
+    rh = zm.perspective_fov_rh(0.7, 1.5, 0.2, 20.0)
+    p_lh = zm.mul(zm.f32x4(1, 1, 5, 1), lh)
+    p_rh = zm.mul(zm.f32x4(1, 1, -5, 1), rh)
+    assert approx(p_lh[:3] / p_lh[3], p_rh[:3] / p_rh[3], 1e-5)
+
+
+def test_quat_identity_matrix():
+    assert approx(zm.mat_from_quat(zm.quat_identity()), np.eye(4))
+
+
+def test_quat_from_mat_negative_trace_branches():
+    # Rotations near 180 deg about each axis exercise the non-trace branches.
+    for axis in [(1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+        q = zm.quat_from_norm_axis_angle(axis, 3.1)
+        m = zm.mat_from_quat(q)
+        q2 = zm.quat_from_mat(m)
+        assert approx(zm.mat_from_quat(q2), m, 1e-4)
+
+
+def test_qmul_is_associative():
+    q1 = zm.quat_from_norm_axis_angle((1, 0, 0), 0.3)
+    q2 = zm.quat_from_norm_axis_angle((0, 1, 0), 0.5)
+    q3 = zm.quat_from_norm_axis_angle((0, 0, 1), -0.7)
+    a = zm.qmul(zm.qmul(q1, q2), q3)
+    b = zm.qmul(q1, zm.qmul(q2, q3))
+    assert approx(a, b, 1e-5)
+
+
+def test_quat_norm_preserved_by_qmul():
+    q1 = zm.quat_from_norm_axis_angle((0.6, 0.8, 0), 1.1)
+    q2 = zm.quat_from_norm_axis_angle((0, 0.6, 0.8), -0.4)
+    q = zm.qmul(q1, q2)
+    assert np.linalg.norm(q) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_quat_to_euler_roll():
+    q = zm.quat_from_roll_pitch_yaw(0.0, 0.0, 0.9)
+    x, y, z = zm.quat_to_euler(q)
+    assert z == pytest.approx(0.9, abs=1e-5)
+    assert x == pytest.approx(0.0, abs=1e-5)
+
+
+def test_trs_identity_when_empty():
+    assert approx(zm.trs_matrix(), np.eye(4))
+
+
+def test_trs_scale_only():
+    m = zm.trs_matrix(scale_xyz=(2, 3, 4))
+    assert approx(m, zm.scaling(2, 3, 4))
+
+
+def test_rotation_matrices_are_orthonormal():
+    for builder in (zm.rotation_x, zm.rotation_y, zm.rotation_z):
+        m = builder(0.77)[:3, :3]
+        assert approx(m @ m.T, np.eye(3), 1e-6)
+        assert np.linalg.det(m) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_look_at_rh_basis_is_orthonormal():
+    m = zm.look_at_rh(zm.vec3(3, 4, 5), zm.vec3(0, 1, 0), zm.vec3(0, 1, 0))
+    r = m[:3, :3]
+    assert approx(r @ r.T, np.eye(3), 1e-5)
+
+
+def test_perspective_preserves_x_y_sign():
+    m = zm.perspective_fov_rh(1.0, 1.0, 0.1, 10.0)
+    p = zm.mul(zm.f32x4(1, 1, -2, 1), m)
+    ndc = p[:3] / p[3]
+    assert ndc[0] > 0 and ndc[1] > 0
+
+
+def test_mul_scalar_matrix():
+    m = zm.translation(1, 2, 3)
+    doubled = np.asarray(m, np.float32) * np.float32(2.0)
+    assert approx(doubled[3], [2, 4, 6, 2])
+
+
+def test_rotate_vec3_preserves_length():
+    q = zm.quat_from_norm_axis_angle((0.48, 0.6, 0.64), 2.2)
+    v = zm.rotate_vec3(q, (3, -4, 12))
+    assert np.linalg.norm(v[:3]) == pytest.approx(13.0, abs=1e-4)
+
+
+def test_camera_view_proj_composition_is_row_vector():
+    # The full reference draw() composition (zrenderer.zig:261-272):
+    # world point -> view -> clip via v @ view @ proj.
+    from zrenderer_tpu.ops.geometry import view_proj_from_camera
+    from zrenderer_tpu.scene.scene import Camera
+
+    cam = Camera(position=np.array([0, 0, 10], np.float32),
+                 forward=np.array([0, 0, -1], np.float32),
+                 yfov=0.8, znear=0.1, zfar=100.0)
+    vp = view_proj_from_camera(cam, 100, 100)
+    clip = zm.f32x4(0, 0, 0, 1) @ vp
+    assert clip[3] == pytest.approx(10.0, abs=1e-4)  # w = -z_view
+    assert abs(clip[0]) < 1e-4 and abs(clip[1]) < 1e-4  # centered

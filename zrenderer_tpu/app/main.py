@@ -52,6 +52,8 @@ def main(argv=None) -> int:
                         help="render pipeline (BASELINE.json configs 0-3)")
     parser.add_argument("--orbit", action="store_true",
                         help="animate the camera on a turntable orbit")
+    parser.add_argument("--taa", action="store_true",
+                        help="temporal anti-aliasing (jitter + history resolve)")
     parser.add_argument("--overlay", action="store_true",
                         help="rasterize the stats/outliner overlay into frames")
     parser.add_argument("--debug", action="store_true",
@@ -96,6 +98,12 @@ def main(argv=None) -> int:
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
+    taa_state = {"history": None, "jitters": None}
+    if args.taa:
+        from zrenderer_tpu.ops import taa as taa_ops
+
+        taa_state["jitters"] = taa_ops.jitter_sequence(8)
+
     def run_frames():
         import math
 
@@ -106,7 +114,22 @@ def main(argv=None) -> int:
                     azimuth=2 * math.pi * frame_i / max(args.frames, 1),
                     elevation=0.35,
                 )
-            renderer.render()
+            jitter = None
+            if args.taa:
+                jitter = taa_state["jitters"][frame_i % 8]
+            renderer.render(jitter=jitter)
+            if args.taa:
+                from zrenderer_tpu.ops.taa import taa_resolve
+
+                color, depth_dev = renderer._pending
+                if taa_state["history"] is None:
+                    taa_state["history"] = (
+                        color[..., :3].astype("float32") / 255.0
+                    )
+                taa_state["history"], resolved = taa_resolve(
+                    taa_state["history"], color
+                )
+                renderer._pending = (resolved, depth_dev)
             if not args.out and overlay is None:
                 renderer.present()  # fence only; frame stays on device
                 if frame_i % 30 == 0 or frame_i == args.frames - 1:

@@ -33,6 +33,7 @@ class RenderConfig:
     profile: bool = False  # jax.profiler trace zones
     vert_align: int = 128
     tri_align: int = 256
+    lod: int = 0  # mesh LOD drawn (the reference hardcodes 0)
     readback: bool = True  # device->host copy of each frame ("present")
 
     @property

@@ -72,6 +72,7 @@ class Renderer:
                 pad=True,
                 vert_align=self.config.vert_align,
                 tri_align=self.config.tri_align,
+                lod=self.config.lod,
             )
             f = self.flat
             self._device_buffers = {
@@ -195,11 +196,19 @@ class Renderer:
 
         return frame
 
-    def camera_matrices(self, camera=None, transforms=None) -> np.ndarray:
+    def camera_matrices(self, camera=None, transforms=None,
+                        jitter=None) -> np.ndarray:
         """Host-side per-frame constants: object_to_clip per draw
-        (the Pso_FrameConst/Pso_DrawConst analog, zrenderer.zig:311-343)."""
+        (the Pso_FrameConst/Pso_DrawConst analog, zrenderer.zig:311-343).
+        ``jitter``: optional (jx, jy) sub-pixel TAA offset (ops/taa.py)."""
         camera = camera if camera is not None else self.scene.active_camera
         vp = g.view_proj_from_camera(camera, self.config.width, self.config.height)
+        if jitter is not None:
+            from zrenderer_tpu.ops.taa import jittered_view_proj
+
+            vp = jittered_view_proj(
+                vp, jitter, self.config.width, self.config.height
+            )
         node_to_world = self.flat.node_to_world
         if transforms is not None:
             node_to_world = np.asarray(transforms, np.float32)
@@ -232,12 +241,13 @@ class Renderer:
             "node_to_world": node_to_world,
         }
 
-    def render(self, camera=None, transforms=None):
+    def render(self, camera=None, transforms=None, jitter=None):
         """Enqueue one frame; returns the device frame (async).
 
         The host returns as soon as XLA has enqueued the step — the CPU/TPU
         pipelining the reference implements with 2-frames-in-flight fences
         (zd3d12.zig:45, :663-667) falls out of JAX's async dispatch.
+        ``jitter``: optional TAA sub-pixel offset (flat pipeline).
         """
         assert self.flat is not None, "load_scene first"
         with ztracy.zone("render"):
@@ -245,7 +255,7 @@ class Renderer:
             b = self._device_buffers
             pipeline = self.config.pipeline
             if pipeline == "flat":
-                matrices = self.camera_matrices(camera, transforms)
+                matrices = self.camera_matrices(camera, transforms, jitter)
                 color, depth = frame(
                     b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
                     matrices,

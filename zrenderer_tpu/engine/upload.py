@@ -48,7 +48,11 @@ class FlatScene:
 
 
 def flatten_scene(scene, mesh_data, pad: bool = True,
-                  vert_align: int = 128, tri_align: int = 256) -> FlatScene:
+                  vert_align: int = 128, tri_align: int = 256,
+                  lod: int = 0) -> FlatScene:
+    """``lod`` selects the mesh LOD used for every draw (the reference draws
+    LOD 0 via mesh.lodSize(0), zrenderer.zig:348; the format's LOD slots are
+    fully honored here — see scene/mesh.py:Mesh.lod_offset)."""
     positions = []
     attrs = []
     tri_vidx = []
@@ -63,7 +67,8 @@ def flatten_scene(scene, mesh_data, pad: bool = True,
         for mesh_index in node.mesh_indices:
             mesh = mesh_data.meshes[mesh_index]
             verts = mesh_data.vertices_of(mesh)  # (nv, 16)
-            idx = mesh_data.indices_of(mesh, lod=0).astype(np.int64)
+            mesh_lod = min(lod, mesh.num_lods - 1)
+            idx = mesh_data.indices_of(mesh, lod=mesh_lod).astype(np.int64)
 
             draw_id = len(node_mats)
             node_mats.append(transform)
