@@ -17,6 +17,8 @@
 #include <cstdlib>
 #include <vector>
 #include <unordered_map>
+#include <algorithm>
+#include <utility>
 #include <zlib.h>
 
 extern "C" {
@@ -206,6 +208,61 @@ uint32_t zrt_analyze_vertex_cache(const uint32_t* indices,
     }
     uint32_t tris = index_count / 3;
     return tris ? (uint32_t)(misses * 1000 / tris) : 0;
+}
+
+// Spatial triangle reordering (the spatialorder capability): sort triangles
+// by the Morton code of their centroid so consecutive triangles occupy
+// compact spatial clusters — what the renderer's block/superblock binning
+// exploits.  In-place on the index buffer (groups of 3).
+static uint64_t spread3(uint32_t v) {
+    uint64_t x = v & 0x1FFFFF;  // 21 bits per axis
+    x = (x | (x << 32)) & 0x1F00000000FFFFull;
+    x = (x | (x << 16)) & 0x1F0000FF0000FFull;
+    x = (x | (x << 8)) & 0x100F00F00F00F00Full;
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3ull;
+    x = (x | (x << 2)) & 0x1249249249249249ull;
+    return x;
+}
+
+void zrt_spatial_sort_triangles(uint32_t* indices, uint32_t index_count,
+                                const float* vertices,
+                                uint32_t floats_per_vertex) {
+    uint32_t tri_count = index_count / 3;
+    if (tri_count < 2) return;
+
+    // Bounding box of all centroids.
+    float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+    std::vector<float> cent(tri_count * 3);
+    for (uint32_t t = 0; t < tri_count; t++) {
+        for (int a = 0; a < 3; a++) {
+            float c = 0;
+            for (int k = 0; k < 3; k++)
+                c += vertices[(uint64_t)indices[t * 3 + k] * floats_per_vertex + a];
+            c /= 3.0f;
+            cent[t * 3 + a] = c;
+            if (c < mn[a]) mn[a] = c;
+            if (c > mx[a]) mx[a] = c;
+        }
+    }
+    float scale[3];
+    for (int a = 0; a < 3; a++) {
+        float ext = mx[a] - mn[a];
+        scale[a] = ext > 0 ? 2097151.0f / ext : 0.0f;  // 21-bit range
+    }
+
+    std::vector<std::pair<uint64_t, uint32_t>> keys(tri_count);
+    for (uint32_t t = 0; t < tri_count; t++) {
+        uint32_t q[3];
+        for (int a = 0; a < 3; a++)
+            q[a] = (uint32_t)((cent[t * 3 + a] - mn[a]) * scale[a]);
+        keys[t] = {spread3(q[0]) | (spread3(q[1]) << 1) | (spread3(q[2]) << 2), t};
+    }
+    std::sort(keys.begin(), keys.end());
+
+    std::vector<uint32_t> out(index_count);
+    for (uint32_t t = 0; t < tri_count; t++)
+        memcpy(&out[t * 3], &indices[keys[t].second * 3], 12);
+    memcpy(indices, out.data(), index_count * 4);
 }
 
 // ---------------------------------------------------------------------------

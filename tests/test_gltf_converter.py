@@ -169,3 +169,21 @@ def test_mesh_folder_mode(tmp_path):
     assert len(mesh_data.meshes) == 1
     assert mesh_data.meshes[0].num_vertices == 3
     assert not (tmp_path / "out" / "scene.bin").exists()
+
+
+@needs_reference
+def test_converter_optimize_flag(tmp_path):
+    rc = converter_main(["-s", REFERENCE_GLTF, "-o", str(tmp_path), "-O"])
+    assert rc == 0
+    md = MeshData.load(tmp_path / "meshes.bin")
+    # Dedup cannot grow counts; the image-defining data stays a valid mesh.
+    assert md.meshes[0].num_vertices <= 48
+    assert md.meshes[0].lod_size(0) == 180
+    # Optimized and unoptimized convert the same triangle multiset
+    # (by position triples).
+    scene, md_plain = convert_gltf_scene(REFERENCE_GLTF)
+    def tri_set(m):
+        v = m.vertices_of(m.meshes[0])[:, :3]
+        t = m.indices_of(m.meshes[0]).reshape(-1, 3)
+        return sorted(tuple(sorted(map(tuple, v[list(tr)].tolist()))) for tr in t)
+    assert tri_set(md) == tri_set(md_plain)

@@ -71,3 +71,19 @@ def test_native_png_roundtrip(tmp_path):
     p.write_bytes(data)
     back = read_png(p)
     np.testing.assert_array_equal(back, img)
+
+
+def test_spatial_sort_triangles():
+    rng = np.random.default_rng(0)
+    verts = rng.uniform(-10, 10, (300, 16)).astype(np.float32)
+    idx = np.arange(300, dtype=np.uint32)
+    out = native.spatial_sort_triangles(idx, verts)
+    # Same triangle multiset, better spatial locality.
+    assert sorted(map(tuple, out.reshape(-1, 3).tolist())) == sorted(
+        map(tuple, idx.reshape(-1, 3).tolist())
+    )
+    cent = verts[out.reshape(-1, 3).astype(int), :3].mean(axis=1)
+    before = verts[idx.reshape(-1, 3).astype(int), :3].mean(axis=1)
+    j_after = np.linalg.norm(np.diff(cent, axis=0), axis=1).mean()
+    j_before = np.linalg.norm(np.diff(before, axis=0), axis=1).mean()
+    assert j_after < j_before

@@ -114,11 +114,15 @@ class Gltf:
         return out.copy()
 
 
-def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> int:
+def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
+                       optimize: bool = False) -> int:
     """Interleave one glTF primitive into MeshData; returns the mesh index.
 
     Mirrors extractGLTFPrimitive + extractVertexData + extractIndexData
-    (gltf_converter.zig:173-204, :69-115, :32-67).
+    (gltf_converter.zig:173-204, :69-115, :32-67).  ``optimize`` runs the
+    native mesh-optimization pass (vertex dedup + vertex-cache + spatial
+    triangle ordering — the meshoptimizer role, which the reference links
+    but never calls, gltf_converter.zig:155).
     """
     attrs = primitive["attributes"]
     num_vertices = gltf.doc["accessors"][next(iter(attrs.values()))]["count"]
@@ -147,6 +151,13 @@ def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> int:
                 verts[:, V_COLOR] = data.astype(np.float32)
 
     indices = gltf.accessor(primitive["indices"]).reshape(-1).astype(np.uint32)
+    if optimize:
+        from zrenderer_tpu.utils import native
+
+        remap, unique = native.generate_vertex_remap(verts)
+        verts, indices = native.apply_remap(verts, remap, unique, indices)
+        indices = native.optimize_vertex_cache(indices, unique)
+        indices = native.spatial_sort_triangles(indices, verts)
     return mesh_data.append_mesh(verts, indices)
 
 
@@ -180,7 +191,7 @@ def _camera_from_nodes(gltf: Gltf, parent: dict, child: dict) -> Camera:
     return cam
 
 
-def convert_gltf_scene(gltf_path: str) -> tuple:
+def convert_gltf_scene(gltf_path: str, optimize: bool = False) -> tuple:
     """Scene mode: one glTF file -> (Scene, MeshData).
 
     Mirrors convertGLTFScene (gltf_converter.zig:225-421).
@@ -219,7 +230,7 @@ def convert_gltf_scene(gltf_path: str) -> tuple:
             node.mesh_indices = list(mesh_dedup[mesh_name])
         else:
             indices = [
-                _extract_primitive(gltf, prim, mesh_data)
+                _extract_primitive(gltf, prim, mesh_data, optimize=optimize)
                 for prim in gmesh["primitives"]
             ]
             mesh_dedup[mesh_name] = indices
@@ -264,6 +275,11 @@ def main(argv=None) -> int:
     group.add_argument("-i", dest="mesh_folder", help="folder of .gltf mesh files")
     group.add_argument("-s", dest="scene_file", help="scene .gltf file")
     parser.add_argument("-o", dest="output", required=True, help="output folder")
+    parser.add_argument(
+        "-O", "--optimize", action="store_true",
+        help="native mesh optimization: vertex dedup + vertex-cache + "
+             "spatial triangle ordering",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
@@ -278,7 +294,7 @@ def main(argv=None) -> int:
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
     else:
         log.info("Converting scene %s...", args.scene_file)
-        scene, mesh_data = convert_gltf_scene(args.scene_file)
+        scene, mesh_data = convert_gltf_scene(args.scene_file, optimize=args.optimize)
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
         scene.save(os.path.join(args.output, "scene.bin"))
     log.info("Wrote output to %s", args.output)

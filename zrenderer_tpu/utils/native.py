@@ -83,6 +83,10 @@ def load(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_uint32,
     ]
+    lib.zrt_spatial_sort_triangles.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
+    ]
     lib.zrt_encode_png.restype = ctypes.c_uint64
     lib.zrt_encode_png.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
@@ -197,6 +201,37 @@ def analyze_vertex_cache(indices: np.ndarray, vertex_count: int,
     return lib.zrt_analyze_vertex_cache(
         _u32p(indices), len(indices), vertex_count, cache_size
     ) / 1000.0
+
+
+def spatial_sort_triangles(indices: np.ndarray, vertices: np.ndarray) -> np.ndarray:
+    """Reorder triangles along a Morton curve of their centroids (the
+    meshoptimizer spatialorder capability) — keeps raster-block union bboxes
+    compact for the binning kernels.  Python fallback included."""
+    indices = np.ascontiguousarray(indices, np.uint32).copy()
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    lib = load()
+    if lib is None:
+        tri = indices.reshape(-1, 3)
+        cent = vertices[tri.astype(np.int64), :3].mean(axis=1)
+        lo = cent.min(axis=0)
+        ext = np.maximum(cent.max(axis=0) - lo, 1e-12)
+        q = ((cent - lo) / ext * 1023).astype(np.uint64)
+
+        def spread(x):
+            x = (x | (x << 16)) & np.uint64(0x30000FF)
+            x = (x | (x << 8)) & np.uint64(0x300F00F)
+            x = (x | (x << 4)) & np.uint64(0x30C30C3)
+            x = (x | (x << 2)) & np.uint64(0x9249249)
+            return x
+
+        key = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+            spread(q[:, 2]) << np.uint64(2)
+        )
+        return tri[np.argsort(key, kind="stable")].reshape(-1)
+    lib.zrt_spatial_sort_triangles(
+        _u32p(indices), len(indices), _f32p(vertices), vertices.shape[1]
+    )
+    return indices
 
 
 def encode_png(rgba: np.ndarray) -> bytes:
