@@ -77,3 +77,39 @@ def test_pallas_hbm_streaming_matches_oracle():
     np.testing.assert_array_equal(depth_pl < 1.0, depth_cpu < 1.0)
     np.testing.assert_allclose(depth_pl, depth_cpu, atol=1e-6)
     assert np.abs(u8_pl.astype(np.int32) - u8_cpu.astype(np.int32)).max() <= 1
+
+
+def test_pallas_gbuffer_interpret_parity_with_xla():
+    """The Pallas G-buffer kernel and its XLA twin agree on coverage and
+    interpolants (CPU: interpret mode, 1-LSB contract)."""
+    from zrenderer_tpu.ops import raster_xla
+
+    W, H = 128, 32
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    normal_mats = np.tile(np.eye(3, dtype=np.float32), (flat.draw_count, 1, 1))
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+
+    rgba_x, depth_x, u_x, v_x, nx_x, ny_x, nz_x = [
+        np.asarray(o) for o in raster_xla.rasterize_gbuffer_xla(
+            jnp.asarray(ti), jnp.asarray(tf), W, H
+        )
+    ]
+    outs = rp.rasterize_gbuffer_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    color_p, depth_p, u_p, v_p, nx_p, ny_p, nz_p = [np.asarray(o) for o in outs]
+    rgba_p = np.asarray(rp.unpack_rgba8(jnp.asarray(color_p)))
+
+    cov_x = depth_x < 1.0
+    assert cov_x.mean() > 0.1
+    np.testing.assert_array_equal(cov_x, depth_p < 1.0)
+    np.testing.assert_allclose(depth_p, depth_x, atol=1e-6)
+    assert np.abs(rgba_p.astype(int) - rgba_x.astype(int)).max() <= 1
+    for a, b in ((u_p, u_x), (v_p, v_x), (nx_p, nx_x), (ny_p, ny_x), (nz_p, nz_x)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
