@@ -179,3 +179,13 @@ def test_depth_tie_first_triangle_wins():
     covered = img[..., 3] == 255
     drawn = img[covered & (img[..., 0:3].sum(axis=-1) > 0)]
     assert (drawn[:, 0] == 255).all() and (drawn[:, 1] == 0).all()
+
+
+def test_parity_wide_viewport_adaptive_guard():
+    # 2560-wide viewport exercises the shrunken guard band (docs spec §2).
+    scene, mesh_data = make_test_scene()
+    flat, matrices = _prepare(scene, mesh_data, 2560, 128)
+    ti, tf = assert_setup_parity(flat, matrices, 2560, 128)
+    img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, 2560, 128)
+    assert (depth_cpu < 1.0).mean() > 0.02  # scene is small at 20:1 aspect
+    assert np.isfinite(img_cpu).all()

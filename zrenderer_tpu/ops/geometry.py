@@ -26,8 +26,18 @@ from zrenderer_tpu.math import zmath as zm
 # --- Fixed-point configuration (docs/RASTER_SPEC.md §1-2) -------------------
 SUBPIXEL_BITS = 3
 SUBPIXEL = 1 << SUBPIXEL_BITS  # 8 subpixel positions per axis
-GUARD_PX = 960  # guard band beyond each viewport edge, in pixels
-MAX_SPAN_PX = 4096  # (W + 2*GUARD_PX) must stay <= this (int32 exactness)
+GUARD_PX = 960  # preferred guard band beyond each viewport edge, in pixels
+MAX_SPAN_PX = 4096  # (W + 2*guard) must stay <= this (int32 exactness)
+
+
+def guard_px(extent: int) -> int:
+    """Guard-band width for a viewport extent: the preferred 960 px, shrunk
+    to keep the snapped-coordinate span inside the exact-int32 budget for
+    wide viewports (e.g. 4K gets a 128 px guard).  Triangles beyond the
+    guard take the geometric clip path either way, so correctness is
+    unchanged — a thin guard only means more triangles clip."""
+    assert extent <= MAX_SPAN_PX - 64, f"viewport extent {extent} too large"
+    return min(GUARD_PX, (MAX_SPAN_PX - extent) // 2)
 
 # Clip stage static shapes
 CLIP_MAX_VERTS = 8  # 3 verts + 5 planes (near + 4 guard)
@@ -234,8 +244,8 @@ def clip_triangles(xp, tris, width: int, height: int):
     T = tris.shape[0]
     V = CLIP_MAX_VERTS
     A = tris.shape[-1]
-    gx = xp.float32(1.0 + 2.0 * GUARD_PX / float(width))
-    gy = xp.float32(1.0 + 2.0 * GUARD_PX / float(height))
+    gx = xp.float32(1.0 + 2.0 * guard_px(width) / float(width))
+    gy = xp.float32(1.0 + 2.0 * guard_px(height) / float(height))
 
     verts = xp.concatenate(
         [tris, xp.zeros((T, V - 3, A), xp.float32)], axis=1
@@ -271,7 +281,8 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
     Returns (tri_i32 (T, NI32) int32, tri_f32 (T, NF32) float32).
     Culled/invalid triangles get an empty bbox (jmin > jmax) and valid=0.
     """
-    assert width + 2 * GUARD_PX <= MAX_SPAN_PX, "viewport too wide for 1/8 subpixel"
+    gpx = guard_px(width)
+    gpy = guard_px(height)
     f32 = xp.float32
     i32 = xp.int32
 
@@ -292,11 +303,12 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
     # Subpixel snap: floor(x * 8 + 0.5) in f32 then to int32 (exact: *8 is a
     # power-of-two scale).  Clamp to the guard window first so that
     # pathological f32 values cannot overflow the int conversion.
-    lo = f32(-GUARD_PX * SUBPIXEL)
-    hix = f32((width + GUARD_PX) * SUBPIXEL)
-    hiy = f32((height + GUARD_PX) * SUBPIXEL)
-    X = xp.clip(xp.floor(xs * f32(SUBPIXEL) + f32(0.5)), lo, hix).astype(i32)
-    Y = xp.clip(xp.floor(ys * f32(SUBPIXEL) + f32(0.5)), lo, hiy).astype(i32)
+    lox = f32(-gpx * SUBPIXEL)
+    loy = f32(-gpy * SUBPIXEL)
+    hix = f32((width + gpx) * SUBPIXEL)
+    hiy = f32((height + gpy) * SUBPIXEL)
+    X = xp.clip(xp.floor(xs * f32(SUBPIXEL) + f32(0.5)), lox, hix).astype(i32)
+    Y = xp.clip(xp.floor(ys * f32(SUBPIXEL) + f32(0.5)), loy, hiy).astype(i32)
 
     x0, x1, x2 = X[:, 0], X[:, 1], X[:, 2]
     y0, y1, y2 = Y[:, 0], Y[:, 1], Y[:, 2]
