@@ -65,3 +65,27 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_2d_mesh_geom_x_tiles_matches_single_device():
+    from zrenderer_tpu.parallel.tiles import make_sharded_frame_2d
+
+    flat, matrices = _inputs()
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("geom", "tiles")
+    )
+    frame_fn, shard_inputs = make_sharded_frame_2d(mesh, W, H, use_pallas=False)
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba_sh, depth_sh = frame_fn(*args)
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(depth_sh).view(np.uint32),
+        np.asarray(depth_1).view(np.uint32),
+    )
+    np.testing.assert_array_equal(np.asarray(rgba_sh), np.asarray(rgba_1))

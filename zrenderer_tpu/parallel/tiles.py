@@ -29,6 +29,7 @@ from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_xla
 
 AXIS = "tiles"
+GEOM_AXIS = "geom"
 
 
 def _band_raster_xla(tri_i32, tri_f32, width, band_h, row_offset):
@@ -136,6 +137,74 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
     def shard_inputs(positions, attrs, tri_vidx, matrices, node_ids):
         rep = NamedSharding(mesh, P())
         tri_sh = NamedSharding(mesh, P(AXIS))
+        return (
+            jax.device_put(positions, rep),
+            jax.device_put(attrs, rep),
+            jax.device_put(tri_vidx, tri_sh),
+            jax.device_put(matrices, rep),
+            jax.device_put(node_ids, rep),
+        )
+
+    return frame_fn, shard_inputs
+
+
+def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
+                          use_pallas: bool = False):
+    """2D-mesh frame step: ('geom', 'tiles') axes compose triangle-shard
+    geometry parallelism with screen-band data parallelism.
+
+    Triangles shard over BOTH axes (geom-major) so setup work spreads across
+    every chip; the all_gather over ('geom', 'tiles') reassembles the full
+    setup buffers in global order; each chip then rasterizes the band owned
+    by its 'tiles' coordinate (bands are replicated along 'geom' — the
+    output spec takes the tiles-axis shards).
+    """
+    n_geom = mesh.shape[GEOM_AXIS]
+    n_tiles = mesh.shape[AXIS]
+    assert height % n_tiles == 0
+    band_h = height // n_tiles
+
+    def step(positions, attrs, tri_vidx_shard, matrices, node_ids):
+        ti_local, tf_local = g.geometry_pipeline(
+            jnp, positions, attrs, tri_vidx_shard, matrices, node_ids,
+            width, height,
+        )
+        # Gather over both axes, geom-major => global triangle order.
+        ti = jax.lax.all_gather(ti_local, (GEOM_AXIS, AXIS), axis=0, tiled=True)
+        tf = jax.lax.all_gather(tf_local, (GEOM_AXIS, AXIS), axis=0, tiled=True)
+
+        row0 = jax.lax.axis_index(AXIS) * band_h
+        if use_pallas:
+            from zrenderer_tpu.ops import raster_pallas as rp
+
+            color, depth = rp.rasterize_setup_pallas_band(
+                ti, tf, width, band_h, row0
+            )
+            return rp.unpack_rgba8(color), depth
+        return _band_raster_xla(ti, tf, width, band_h, row0)
+
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P((GEOM_AXIS, AXIS)), P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None)),
+    )
+    params = inspect.signature(shard_map).parameters
+    if "check_rep" in params:
+        kwargs["check_rep"] = False
+    elif "check_vma" in params:
+        kwargs["check_vma"] = False
+    frame_fn = jax.jit(shard_map(step, **kwargs))
+
+    def shard_inputs(positions, attrs, tri_vidx, matrices, node_ids):
+        rep = NamedSharding(mesh, P())
+        tri_sh = NamedSharding(mesh, P((GEOM_AXIS, AXIS)))
         return (
             jax.device_put(positions, rep),
             jax.device_put(attrs, rep),
