@@ -142,3 +142,23 @@ def test_ztracy_zones():
     before = ztracy.frame_index()
     ztracy.frame_mark()
     assert ztracy.frame_index() == before + 1
+
+
+def test_debug_validation_mode():
+    """config.debug is the debug-layer analog: frames are validated
+    (finite depth in range) at render time."""
+    config = RenderConfig(width=96, height=64, backend="xla", debug=True,
+                          tri_align=64)
+    r = Renderer(config)
+    scene, mesh_data = make_test_scene()
+    r.load_scene(scene, mesh_data)
+    img, depth = r.render_and_read()  # passes validation
+    assert np.isfinite(depth).all()
+    # A corrupted frame trips the validator.
+    import jax.numpy as jnp
+
+    with pytest.raises(FloatingPointError):
+        r._validate_frame(
+            jnp.zeros((64, 96, 4), jnp.uint8),
+            jnp.full((64, 96), jnp.nan, jnp.float32),
+        )

@@ -287,6 +287,8 @@ class Renderer:
                     )
                 else:
                     raise ValueError(pipeline)
+            if self.config.debug:
+                self._validate_frame(color, depth)
             self._pending = (color, depth)
             self.stats.update(
                 triangles=self.flat.num_triangles,
@@ -294,6 +296,19 @@ class Renderer:
             )
             ztracy.frame_mark()
             return color, depth
+
+    def _validate_frame(self, color, depth) -> None:
+        """Debug-layer analog (SURVEY.md §5.2): with config.debug the frame
+        outputs are checked for NaN/Inf depth and out-of-range values, the
+        way the reference opts into the D3D12 debug layer + GPU-based
+        validation (zd3d12.zig:121-131)."""
+        d = np.asarray(depth)
+        if not np.isfinite(d).all():
+            raise FloatingPointError("debug validation: non-finite depth")
+        if d.min() < 0.0 or d.max() > 1.0:
+            raise FloatingPointError(
+                f"debug validation: depth outside [0,1] ({d.min()}, {d.max()})"
+            )
 
     def present(self):
         """Fence on the most recent frame (the Present + fence analog,
