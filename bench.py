@@ -61,7 +61,7 @@ def main() -> int:
     # co-located host read_frame() is milliseconds).
     color, depth = renderer._pending
     t0 = time.perf_counter()
-    img = np.asarray(color[::8, ::8])
+    img = np.asarray(color[::16, ::16])
     readback_ms = (time.perf_counter() - t0) * 1000
     coverage = (img[..., 0:3].sum(axis=-1) > 0).mean()
     assert coverage > 0.05, f"benchmark frame empty (coverage={coverage})"
