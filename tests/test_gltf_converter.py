@@ -187,3 +187,16 @@ def test_converter_optimize_flag(tmp_path):
         t = m.indices_of(m.meshes[0]).reshape(-1, 3)
         return sorted(tuple(sorted(map(tuple, v[list(tr)].tolist()))) for tr in t)
     assert tri_set(md) == tri_set(md_plain)
+
+
+@needs_reference
+def test_reference_materials_carried():
+    _, md = convert_gltf_scene(REFERENCE_GLTF)
+    # test.gltf has one material "Material" (baseColor 0.8, roughness 0.4).
+    assert len(md.materials) == 1
+    m = md.materials[0]
+    assert m.name == "Material"
+    np.testing.assert_allclose(m.base_color[:3], [0.8] * 3, rtol=1e-5)
+    assert m.roughness == pytest.approx(0.4, rel=1e-5)
+    assert m.metallic == pytest.approx(0.0)
+    assert md.mesh_material == [0]

@@ -147,3 +147,29 @@ def test_camera_record_roundtrip():
     assert again.yaw == pytest.approx(-0.5)
     assert again.zfar == pytest.approx(500.0)
     assert again.name == "cam"
+
+
+def test_material_section_roundtrip():
+    from zrenderer_tpu.scene.mesh import Material
+
+    _, mesh_data = make_test_scene()
+    mesh_data.materials = [
+        Material(base_color=(0.8, 0.8, 0.8, 1.0), metallic=0.0,
+                 roughness=0.4, name="Material"),
+    ]
+    mesh_data.mesh_material = [0]
+    again = MeshData.deserialize(mesh_data.serialize())
+    assert len(again.materials) == 1
+    m = again.materials[0]
+    assert m.name == "Material"
+    np.testing.assert_allclose(m.base_color, (0.8, 0.8, 0.8, 1.0), rtol=1e-6)
+    assert m.roughness == pytest.approx(0.4)
+    assert again.mesh_material == [0]
+
+
+def test_material_section_optional_backward_compat():
+    # Files without the MATL section still load (pre-material writers).
+    _, mesh_data = make_test_scene()
+    blob = mesh_data.serialize()
+    again = MeshData.deserialize(blob)
+    assert again.materials == [] and again.mesh_material == []

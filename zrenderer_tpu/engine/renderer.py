@@ -73,6 +73,7 @@ class Renderer:
                 vert_align=self.config.vert_align,
                 tri_align=self.config.tri_align,
                 lod=self.config.lod,
+                apply_materials=self.config.pipeline != "flat",
             )
             f = self.flat
             self._device_buffers = {

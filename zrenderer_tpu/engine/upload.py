@@ -49,10 +49,15 @@ class FlatScene:
 
 def flatten_scene(scene, mesh_data, pad: bool = True,
                   vert_align: int = 128, tri_align: int = 256,
-                  lod: int = 0) -> FlatScene:
+                  lod: int = 0, apply_materials: bool = False) -> FlatScene:
     """``lod`` selects the mesh LOD used for every draw (the reference draws
     LOD 0 via mesh.lodSize(0), zrenderer.zig:348; the format's LOD slots are
-    fully honored here — see scene/mesh.py:Mesh.lod_offset)."""
+    fully honored here — see scene/mesh.py:Mesh.lod_offset).
+
+    ``apply_materials`` folds each mesh's material base color into its
+    vertex colors (used by the lit pipelines); the flat pipeline keeps raw
+    vertex colors for observed-image parity with the reference demo, which
+    drops materials entirely (uber.hlsl:28)."""
     positions = []
     attrs = []
     tri_vidx = []
@@ -79,6 +84,15 @@ def flatten_scene(scene, mesh_data, pad: bool = True,
 
             a = np.zeros((len(verts), 12), np.float32)
             a[:, 0:4] = verts[:, V_COLOR]
+            # Fold the mesh's material base color into vertex colors at
+            # upload time (zero per-frame cost); full PBR params feed the
+            # lit pipelines via the Material table.
+            if apply_materials and mesh_data.mesh_material:
+                mi = mesh_data.mesh_material[mesh_index]
+                if mi >= 0:
+                    a[:, 0:4] *= np.asarray(
+                        mesh_data.materials[mi].base_color, np.float32
+                    )
             a[:, 4:6] = verts[:, V_UV]
             a[:, 6:9] = verts[:, V_NORMAL]
             a[:, 9:12] = verts[:, V_TANGENT][:, :3]

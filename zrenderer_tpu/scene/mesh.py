@@ -50,6 +50,15 @@ _HEADER = struct.Struct("<5I")
 # lod_offset[8], stream_offset[8] (u64), stream_element_size[8]
 _MESH_RECORD = struct.Struct("<5I8I8Q8I")
 
+# Optional trailing material section (a capability the reference lacks —
+# its converter drops glTF materials entirely): tag 'MATL', u32 count, then
+# per-material records.  Old files without the section load fine; old
+# loaders reading a new file stop at the declared index/vertex sizes.
+_MATL_TAG = b"MATL"
+# base_color rgba, metallic, roughness, emissive rgb, material_of_mesh u32
+# is stored as a parallel u32 table after the records.
+_MATERIAL_RECORD = struct.Struct("<4f f f 3f 64s")
+
 
 @dataclass
 class Mesh:
@@ -99,12 +108,42 @@ MESH_RECORD_SIZE = _MESH_RECORD.size
 
 
 @dataclass
+class Material:
+    """PBR material parameters (glTF pbrMetallicRoughness subset)."""
+
+    base_color: tuple = (1.0, 1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    roughness: float = 0.5
+    emissive: tuple = (0.0, 0.0, 0.0)
+    name: str = ""
+
+    def pack(self) -> bytes:
+        return _MATERIAL_RECORD.pack(
+            *self.base_color, self.metallic, self.roughness, *self.emissive,
+            self.name.encode("utf-8")[:63].ljust(64, b"\x00"),
+        )
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "Material":
+        v = _MATERIAL_RECORD.unpack(data)
+        return cls(
+            base_color=tuple(v[0:4]),
+            metallic=v[4],
+            roughness=v[5],
+            emissive=tuple(v[6:9]),
+            name=v[9].split(b"\x00", 1)[0].decode("utf-8", errors="replace"),
+        )
+
+
+@dataclass
 class MeshData:
     """Shared geometry arrays + mesh descriptors (mesh.zig:62-118)."""
 
     index_data: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
     vertex_data: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     meshes: list = field(default_factory=list)
+    materials: list = field(default_factory=list)  # Material records
+    mesh_material: list = field(default_factory=list)  # per-mesh index, -1=none
 
     def vertices_of(self, mesh: Mesh) -> np.ndarray:
         """Interleaved (num_vertices, 16) f32 view of one mesh's vertices."""
@@ -132,6 +171,15 @@ class MeshData:
             out.write(m.pack())
         out.write(np.ascontiguousarray(self.vertex_data, np.float32).tobytes())
         out.write(np.ascontiguousarray(self.index_data, np.uint32).tobytes())
+        if self.materials:
+            out.write(_MATL_TAG)
+            out.write(struct.pack("<I", len(self.materials)))
+            for m in self.materials:
+                out.write(m.pack())
+            mm = list(self.mesh_material) + [-1] * (
+                len(self.meshes) - len(self.mesh_material)
+            )
+            out.write(np.asarray(mm, np.int32).tobytes())
         return out.getvalue()
 
     def save(self, path) -> None:
@@ -154,7 +202,28 @@ class MeshData:
         vertex_data = np.frombuffer(data, np.float32, vertex_size // 4, off).copy()
         off += vertex_size
         index_data = np.frombuffer(data, np.uint32, index_size // 4, off).copy()
-        return cls(index_data=index_data, vertex_data=vertex_data, meshes=meshes)
+        off += index_size
+        materials = []
+        mesh_material: list = []
+        if data[off : off + 4] == _MATL_TAG:
+            off += 4
+            (count,) = struct.unpack_from("<I", data, off)
+            off += 4
+            for _ in range(count):
+                materials.append(
+                    Material.unpack(data[off : off + _MATERIAL_RECORD.size])
+                )
+                off += _MATERIAL_RECORD.size
+            mesh_material = np.frombuffer(
+                data, np.int32, num_meshes, off
+            ).tolist()
+        return cls(
+            index_data=index_data,
+            vertex_data=vertex_data,
+            meshes=meshes,
+            materials=materials,
+            mesh_material=mesh_material,
+        )
 
     @classmethod
     def load(cls, path) -> "MeshData":

@@ -47,6 +47,7 @@ import numpy as np
 
 from zrenderer_tpu.math import zmath as zm
 from zrenderer_tpu.scene.mesh import (
+    Material,
     MeshData,
     V_COLOR,
     V_NORMAL,
@@ -150,6 +151,7 @@ def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
             else:
                 verts[:, V_COLOR] = data.astype(np.float32)
 
+    _record_material(gltf, primitive, mesh_data)
     indices = gltf.accessor(primitive["indices"]).reshape(-1).astype(np.uint32)
     if optimize:
         from zrenderer_tpu.utils import native
@@ -159,6 +161,32 @@ def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
         indices = native.optimize_vertex_cache(indices, unique)
         indices = native.spatial_sort_triangles(indices, verts)
     return mesh_data.append_mesh(verts, indices)
+
+
+def _record_material(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> None:
+    """Carry the primitive's glTF material into the MATL section (a
+    capability beyond the reference, which drops materials entirely)."""
+    mat_idx = primitive.get("material")
+    if mat_idx is None:
+        mesh_data.mesh_material.append(-1)
+        return
+    if not hasattr(mesh_data, "_gltf_material_map"):
+        mesh_data._gltf_material_map = {}
+    mapping = mesh_data._gltf_material_map
+    if mat_idx not in mapping:
+        gm = gltf.doc.get("materials", [])[mat_idx]
+        pbr = gm.get("pbrMetallicRoughness", {})
+        mapping[mat_idx] = len(mesh_data.materials)
+        mesh_data.materials.append(
+            Material(
+                base_color=tuple(pbr.get("baseColorFactor", [1, 1, 1, 1])),
+                metallic=float(pbr.get("metallicFactor", 1.0)),
+                roughness=float(pbr.get("roughnessFactor", 1.0)),
+                emissive=tuple(gm.get("emissiveFactor", [0, 0, 0])),
+                name=gm.get("name", ""),
+            )
+        )
+    mesh_data.mesh_material.append(mapping[mat_idx])
 
 
 def _camera_from_nodes(gltf: Gltf, parent: dict, child: dict) -> Camera:
