@@ -40,7 +40,10 @@ int zrt_meshes_probe(const uint8_t* data, uint64_t size,
     memcpy(&isz, data + 12, 4);
     memcpy(&vsz, data + 16, 4);
     if (magic != 0x12345678u) return -2;
-    if (dbs != 20 + nm * 148u) return -3;
+    // Validate in 64-bit: nm * 148 wraps u32 for nm >= ~29M, which would
+    // accept a crafted header and drive zrt_meshes_load out of bounds.
+    if (nm > (size - 20) / 148) return -3;
+    if ((uint64_t)dbs != 20 + (uint64_t)nm * 148) return -3;
     if ((uint64_t)dbs + vsz + isz > size) return -4;
     *num_meshes = nm;
     *num_vertices_f32 = vsz / 4;

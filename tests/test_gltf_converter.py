@@ -200,3 +200,51 @@ def test_reference_materials_carried():
     assert m.roughness == pytest.approx(0.4, rel=1e-5)
     assert m.metallic == pytest.approx(0.0)
     assert md.mesh_material == [0]
+
+
+def _write_material_gltf(tmp_path, name, base_color, fname):
+    """One-triangle glTF whose primitive uses material index 0."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    buf = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "meshes": [{
+            "name": f"{name}Mesh",
+            "primitives": [
+                {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}
+            ],
+        }],
+        "materials": [{
+            "name": name,
+            "pbrMetallicRoughness": {"baseColorFactor": list(base_color)},
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [{
+            "byteLength": len(buf),
+            "uri": "data:application/octet-stream;base64,"
+            + base64.b64encode(buf).decode(),
+        }],
+    }
+    (tmp_path / fname).write_text(json.dumps(doc))
+
+
+def test_mesh_folder_materials_not_aliased_across_files(tmp_path):
+    """Material index 0 of each .gltf is a different material; the dedup map
+    must be per-document, not shared across the folder conversion."""
+    _write_material_gltf(tmp_path, "Red", (1, 0, 0, 1), "a_red.gltf")
+    _write_material_gltf(tmp_path, "Blue", (0, 0, 1, 1), "b_blue.gltf")
+    rc = converter_main(["-i", str(tmp_path), "-o", str(tmp_path / "out")])
+    assert rc == 0
+    md = MeshData.load(tmp_path / "out" / "meshes.bin")
+    assert [m.name for m in md.materials] == ["Red", "Blue"]
+    assert md.mesh_material == [0, 1]
+    np.testing.assert_allclose(md.materials[0].base_color, (1, 0, 0, 1))
+    np.testing.assert_allclose(md.materials[1].base_color, (0, 0, 1, 1))

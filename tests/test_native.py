@@ -87,3 +87,14 @@ def test_spatial_sort_triangles():
     j_after = np.linalg.norm(np.diff(cent, axis=0), axis=1).mean()
     j_before = np.linalg.norm(np.diff(before, axis=0), axis=1).mean()
     assert j_after < j_before
+
+
+def test_meshes_probe_rejects_overflowing_mesh_count():
+    """nm * 148 wraps u32 for nm = 2^30 (2^30 * 148 mod 2^32 == 0), which a
+    32-bit check would accept and then read far out of bounds."""
+    import struct
+
+    nm = 1 << 30
+    blob = struct.pack("<5I", 0x12345678, nm, 20, 0, 0) + b"\x00" * 64
+    with pytest.raises(ValueError):
+        native.meshes_load(blob)

@@ -29,7 +29,10 @@ class RenderConfig:
     pipeline: str = "flat"
     shadow_size: int = 1024
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
-    debug: bool = False  # interpret-mode Pallas + checkify (the debug layer)
+    # The debug layer (SURVEY.md §5.2): interpret-mode Pallas kernels + frame
+    # output validation; on the XLA backend the frame is additionally
+    # compiled with checkify NaN/div/OOB asserts (engine/renderer.py).
+    debug: bool = False
     profile: bool = False  # jax.profiler trace zones
     vert_align: int = 128
     tri_align: int = 256

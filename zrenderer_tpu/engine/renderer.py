@@ -137,17 +137,24 @@ class Renderer:
 
     def _frame_fn(self):
         cfg = self.config
+        # Texture identity is part of the key: build_lit/shadowed_frame bake
+        # mip geometry (base_shape, num_levels) from the bound texture at
+        # build time, so rebinding a different-sized texture must recompile.
+        tex_key = None
+        if cfg.pipeline != "flat" and hasattr(self, "texture"):
+            tex_key = (tuple(self.texture.base_shape), self.texture.num_levels)
         key = (
             self.backend,
             cfg.content_hash(),
             len(self.flat.positions),
             len(self.flat.tri_vidx),
             self.flat.draw_count,
+            tex_key,
         )
 
-        def build():
+        def build_raw():
             if cfg.pipeline == "flat":
-                return jax.jit(self._build_flat_frame())
+                return self._build_flat_frame()
             from zrenderer_tpu.engine import passes
 
             if not hasattr(self, "texture"):
@@ -155,22 +162,38 @@ class Renderer:
             args = (self.backend, cfg.width, cfg.height, cfg.pad_height,
                     cfg.pad_width)
             if cfg.pipeline == "lit":
-                return jax.jit(
-                    passes.build_lit_frame(*args, self.texture,
-                                           interpret=cfg.debug)
-                )
+                return passes.build_lit_frame(*args, self.texture,
+                                              interpret=cfg.debug)
             if cfg.pipeline == "shadowed":
-                return jax.jit(
-                    passes.build_shadowed_frame(
-                        *args, self.texture, shadow_size=cfg.shadow_size,
-                        interpret=cfg.debug,
-                    )
+                return passes.build_shadowed_frame(
+                    *args, self.texture, shadow_size=cfg.shadow_size,
+                    interpret=cfg.debug,
                 )
             if cfg.pipeline == "deferred":
-                return jax.jit(
-                    passes.build_deferred_frame(*args, interpret=cfg.debug)
-                )
+                return passes.build_deferred_frame(*args, interpret=cfg.debug)
             raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
+
+        def build():
+            raw = build_raw()
+            if cfg.debug and self.backend == "xla":
+                # The debug-layer analog (SURVEY.md §5.2): functionalized
+                # NaN/div-by-zero/OOB-gather asserts compiled into the frame.
+                # (The Pallas backend's debug layer is interpret-mode kernels
+                # + the host-side _validate_frame instead — checkify cannot
+                # see inside pallas_call.)
+                from jax.experimental import checkify
+
+                checked = jax.jit(checkify.checkify(
+                    raw, errors=checkify.float_checks | checkify.index_checks
+                ))
+
+                def throwing(*a, **k):
+                    err, out = checked(*a, **k)
+                    err.throw()
+                    return out
+
+                return throwing
+            return jax.jit(raw)
 
         return self.pipelines.get_or_create(key, build)
 
@@ -295,8 +318,11 @@ class Renderer:
                 triangles=self.flat.num_triangles,
                 pixels=self.config.width * self.config.height,
             )
-            ztracy.frame_mark()
-            return color, depth
+        # Outside the render zone: the frame-step annotation spans from one
+        # mark to the next and must nest cleanly around zones (TraceMe spans
+        # are a thread-local stack — interleaving drops them).
+        ztracy.frame_mark()
+        return color, depth
 
     def _validate_frame(self, color, depth) -> None:
         """Debug-layer analog (SURVEY.md §5.2): with config.debug the frame

@@ -428,7 +428,12 @@ def compact_triangles(xp, tri_i32, tri_f32):
     submission order — is preserved exactly.
     """
     dead = (tri_i32[:, I_VALID] == 0).astype(xp.int32)
-    order = xp.argsort(dead, stable=True)
+    if xp is np:
+        # kind='stable' spells the stable sort on NumPy 1.x and 2.x both
+        # (the `stable=` keyword is NumPy >= 2.0 only).
+        order = np.argsort(dead, kind="stable")
+    else:
+        order = xp.argsort(dead, stable=True)
     return tri_i32[order], tri_f32[order]
 
 

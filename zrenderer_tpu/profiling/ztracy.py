@@ -17,6 +17,7 @@ import time
 
 _enabled = os.environ.get("ZRENDERER_TRACE", "0") not in ("0", "", "false")
 _frame_index = 0
+_step_annotation = None  # open StepTraceAnnotation between frame marks
 
 
 def enable(value: bool = True) -> None:
@@ -75,9 +76,22 @@ def zone_nc(name: str, color: int = 0, active: bool = True) -> _Zone:
 
 def frame_mark(name: str | None = None) -> None:
     """Per-frame marker (ztracy.frameMark, called at present time —
-    zd3d12.zig:660)."""
-    global _frame_index
+    zd3d12.zig:660).  While tracing is enabled, each inter-mark span becomes
+    a jax.profiler.StepTraceAnnotation (the xprof step boundary — frames
+    show up as steps in the trace viewer, the way Tracy renders frameMark
+    spans); disabled, it is a free-running counter like Tracy's no-op."""
+    global _frame_index, _step_annotation
     _frame_index += 1
+    if _step_annotation is not None:
+        _step_annotation.__exit__(None, None, None)
+        _step_annotation = None
+    if _enabled:
+        import jax.profiler
+
+        _step_annotation = jax.profiler.StepTraceAnnotation(
+            name or "frame", step_num=_frame_index
+        )
+        _step_annotation.__enter__()
 
 
 def frame_index() -> int:
@@ -90,11 +104,15 @@ def trace(log_dir: str):
     wraps jax.profiler.start_trace/stop_trace."""
     import jax.profiler
 
+    global _step_annotation
     was = _enabled
     enable(True)
     jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
+        if _step_annotation is not None:  # close the last open frame step
+            _step_annotation.__exit__(None, None, None)
+            _step_annotation = None
         jax.profiler.stop_trace()
         enable(was)

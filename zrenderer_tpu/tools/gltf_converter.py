@@ -170,9 +170,12 @@ def _record_material(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> None:
     if mat_idx is None:
         mesh_data.mesh_material.append(-1)
         return
-    if not hasattr(mesh_data, "_gltf_material_map"):
-        mesh_data._gltf_material_map = {}
-    mapping = mesh_data._gltf_material_map
+    # The dedup map lives on the Gltf document: glTF material indices are
+    # per-file, so a map on the shared MeshData would alias material 0 of
+    # every file in mesh-folder (-i) mode to the first file's material 0.
+    if not hasattr(gltf, "_material_map"):
+        gltf._material_map = {}
+    mapping = gltf._material_map
     if mat_idx not in mapping:
         gm = gltf.doc.get("materials", [])[mat_idx]
         pbr = gm.get("pbrMetallicRoughness", {})
@@ -285,13 +288,14 @@ def convert_gltf_scene(gltf_path: str, optimize: bool = False) -> tuple:
     return scene, mesh_data
 
 
-def convert_gltf_meshes(gltf_path: str, mesh_data: MeshData) -> None:
+def convert_gltf_meshes(gltf_path: str, mesh_data: MeshData,
+                        optimize: bool = False) -> None:
     """Mesh-folder mode: append every primitive of every mesh
     (convertGLTF, gltf_converter.zig:117-171)."""
     gltf = Gltf(gltf_path)
     for gmesh in gltf.doc.get("meshes", []):
         for prim in gmesh["primitives"]:
-            _extract_primitive(gltf, prim, mesh_data)
+            _extract_primitive(gltf, prim, mesh_data, optimize=optimize)
 
 
 def main(argv=None) -> int:
@@ -318,7 +322,10 @@ def main(argv=None) -> int:
         for entry in sorted(os.listdir(args.mesh_folder)):
             if entry.endswith(".gltf"):
                 log.info("Converting %s", entry)
-                convert_gltf_meshes(os.path.join(args.mesh_folder, entry), mesh_data)
+                convert_gltf_meshes(
+                    os.path.join(args.mesh_folder, entry), mesh_data,
+                    optimize=args.optimize,
+                )
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
     else:
         log.info("Converting scene %s...", args.scene_file)
