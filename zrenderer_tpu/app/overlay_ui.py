@@ -1,82 +1,67 @@
-"""Overlay UI: stats line + scene-outliner panel as glyph quads.
+"""Overlay UI: stats line + scene-outliner panel on the general 2D pass.
 
-The text-mode replacement for the reference's imgui windows
-(zrenderer.zig:246-254 scene outliner; FrameStats in the window title,
-common.zig:63-71).  Lays text out into non-overlapping glyph cells and
-composes them onto frames with the device-side overlay pass
-(ops/overlay.py).
+The imgui-window replacement for the reference's GUI (zrenderer.zig:246-254
+scene outliner; FrameStats in the window title, common.zig:63-71), built as
+an immediate-mode draw list (app/draw_list.py) rendered by the
+GuiRenderer-parity overlay rasterizer (ops/overlay_raster.py): translucent
+window background + border and atlas-textured glyph quads, alpha-blended in
+submission order with scissoring.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from zrenderer_tpu.app import font
-from zrenderer_tpu.ops.overlay import compose_overlay
+from zrenderer_tpu.app.draw_list import DrawList
+from zrenderer_tpu.ops.overlay_raster import overlay_pass
 
 PANEL_COLOR = (0.06, 0.06, 0.10, 0.82)
+BORDER_COLOR = (0.25, 0.55, 0.25, 1.0)
 TEXT_COLOR = (0.0, 0.9, 0.0, 1.0)  # the outliner's green (zrenderer.zig:251)
-MAX_GLYPHS = 1024
-MAX_PANELS = 4
+MAX_TRIS = 4096
 
 
 class OverlayUI:
-    def __init__(self, width: int, height: int, scale: int = 2):
+    def __init__(self, width: int, height: int, scale: int = 2,
+                 backend: str | None = None, max_tris: int = MAX_TRIS):
         self.width = width
         self.height = height
         self.scale = scale
-        self.atlas = jnp.asarray(font.build_atlas())
+        self.max_tris = max_tris
+        self.atlas = font.UIAtlas()
+        if backend is None:
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
 
-    def _layout(self, lines, origin=(8, 8)):
-        """Text lines -> (glyph_ids, glyph_data) padded arrays + panel rect."""
+    def draw_panel(self, dl: DrawList, lines, origin=(8, 8)) -> None:
+        """One imgui-style window: translucent background, border, text."""
         gw = font.GLYPH_W * self.scale
         gh = font.GLYPH_H * self.scale
-        ids = np.zeros(MAX_GLYPHS, np.int32)
-        data = np.zeros((MAX_GLYPHS, 6), np.float32)
-        n = 0
-        max_cols = 0
+        pad = 6
+        max_cols = max((len(l) for l in lines), default=0)
+        x0, y0 = origin[0] - pad, origin[1] - pad
+        x1 = origin[0] + max_cols * gw + pad
+        y1 = origin[1] + len(lines) * gh + pad
+        dl.add_rect_filled(x0, y0, x1, y1, PANEL_COLOR)
+        dl.add_rect(x0, y0, x1, y1, BORDER_COLOR, thickness=1)
+        # Text clips to the panel interior (the imgui window scissor).
+        dl.push_clip_rect(x0 + 1, y0 + 1, x1 - 1, y1 - 1)
         for row, line in enumerate(lines):
-            max_cols = max(max_cols, len(line))
-            for col, ch in enumerate(line):
-                if ch == " " or n >= MAX_GLYPHS:
-                    continue
-                x = origin[0] + col * gw
-                y = origin[1] + row * gh
-                if x + gw > self.width or y + gh > self.height:
-                    continue
-                ids[n] = font.glyph_index(ch)
-                data[n, 0] = x
-                data[n, 1] = y
-                data[n, 2:6] = TEXT_COLOR
-                n += 1
-        panel = np.array(
-            [
-                [
-                    origin[0] - 4,
-                    origin[1] - 4,
-                    min(self.width, origin[0] + max_cols * gw + 4),
-                    min(self.height, origin[1] + len(lines) * gh + 4),
-                ]
-            ]
-            + [[0, 0, 0, 0]] * (MAX_PANELS - 1),
-            np.int32,
-        )
-        colors = np.zeros((MAX_PANELS, 4), np.float32)
-        colors[0] = PANEL_COLOR
-        return ids, data, panel, colors
+            dl.add_text(origin[0], origin[1] + row * gh, line, TEXT_COLOR,
+                        scale=self.scale)
+        dl.pop_clip_rect()
 
     def compose(self, frame_u8: np.ndarray, lines) -> np.ndarray:
-        """Blend panel + text onto a frame (device-side, jitted)."""
-        ids, data, panel, colors = self._layout(lines)
-        out = compose_overlay(
-            jnp.asarray(frame_u8),
-            self.atlas,
-            jnp.asarray(panel),
-            jnp.asarray(colors),
-            jnp.asarray(ids),
-            jnp.asarray(data),
-            self.scale,
+        """Blend the stats/outliner window onto a frame (device-side)."""
+        dl = DrawList(self.width, self.height, self.atlas)
+        self.draw_panel(dl, list(lines))
+        ti, tf = dl.setup(self.max_tris)
+        out = overlay_pass(
+            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
+            self.atlas.packed_u32, self.backend,
         )
         return np.asarray(out)

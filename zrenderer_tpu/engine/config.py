@@ -28,6 +28,11 @@ class RenderConfig:
     # "deferred" (3)
     pipeline: str = "flat"
     shadow_size: int = 1024
+    # Shadow quality (config 2): constant + slope-scaled depth bias and the
+    # PCF kernel radius ((2*taps+1)^2 taps).
+    shadow_bias: float = 2e-3
+    shadow_slope_bias: float = 3e-3
+    pcf_taps: int = 1
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
     # The debug layer (SURVEY.md §5.2): interpret-mode Pallas kernels + frame
     # output validation; on the XLA backend the frame is additionally

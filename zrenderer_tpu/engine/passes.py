@@ -88,7 +88,9 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
 
 
 def build_shadowed_frame(backend, width, height, pad_height, pad_width,
-                         texture, shadow_size=1024, interpret=False):
+                         texture, shadow_size=1024, interpret=False,
+                         shadow_bias=2e-3, shadow_slope_bias=3e-3,
+                         pcf_taps=1):
     """Config 2: directional light shadow map (depth-only pass + PCF)."""
 
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
@@ -115,7 +117,11 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
         )
         world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
 
-        lit_mask = shading.shadow_factor_pcf(shadow_depth, world, light_view_proj)
+        lit_mask = shading.shadow_factor_pcf(
+            shadow_depth, world, light_view_proj,
+            bias=shadow_bias, taps=pcf_taps,
+            normal=n, light_dir=light_dir, slope_bias=shadow_slope_bias,
+        )
         ndotl = jnp.maximum(
             jnp.sum(n * (-light_dir)[None, None, :], axis=-1), 0.0
         )

@@ -84,6 +84,25 @@ class Renderer:
             }
             for name, buf in self._device_buffers.items():
                 self.resources.add((name, buf))
+            # Per-draw local AABB corners, cached once: the light frustum is
+            # fitted from TRANSFORMED bounds (exact under node rotation and
+            # scale) without per-frame host scans of all vertices.
+            f = self.flat
+            corners = np.empty((f.draw_count, 8, 4), np.float32)
+            for d in range(f.draw_count):
+                pts = f.positions[: f.num_vertices][
+                    f.vert_node[: f.num_vertices] == d, :3
+                ]
+                lo = pts.min(axis=0)
+                hi = pts.max(axis=0)
+                k = 0
+                for x in (lo[0], hi[0]):
+                    for y in (lo[1], hi[1]):
+                        for z in (lo[2], hi[2]):
+                            corners[d, k] = (x, y, z, 1.0)
+                            k += 1
+            self._draw_corners = corners
+            self._static_light_vp = None
             log.info(
                 "scene uploaded: %d draws, %d verts (%d padded), %d tris (%d padded)",
                 f.draw_count,
@@ -108,30 +127,40 @@ class Renderer:
         self.light_color = np.asarray(light_color, np.float32)
         d = np.asarray(light_dir, np.float32)
         self.light_dir = d / np.linalg.norm(d)
+        self._static_light_vp = None  # frustum depends on light_dir
         if lights is None:
             lights = (np.asarray([light_pos], np.float32),
                       np.asarray([light_color], np.float32))
         self.lights = (np.asarray(lights[0], np.float32),
                        np.asarray(lights[1], np.float32))
 
-    def _light_view_proj(self) -> np.ndarray:
-        """Directional-light ortho view-proj fitted to the scene bounds."""
+    def _light_view_proj(self, node_to_world=None) -> np.ndarray:
+        """Directional-light ortho view-proj fitted to the scene's world
+        AABB (per-draw cached local corners x current transforms — exact
+        under rotation/scale, O(draws) per frame, cached for static
+        transforms)."""
         from zrenderer_tpu.math import zmath as zm
 
-        pts = self.flat.positions[:, :3]
-        center = (pts.min(axis=0) + pts.max(axis=0)) * 0.5
-        radius = float(np.linalg.norm(pts - center, axis=1).max()) + 1e-3
-        # Account for node translations crudely: pad by the largest offset.
-        radius += float(
-            np.abs(self.flat.node_to_world[:, 3, :3]).max()
-        )
+        static = node_to_world is None
+        if static and self._static_light_vp is not None:
+            return self._static_light_vp
+        mats = self.flat.node_to_world if static else node_to_world
+        world = np.einsum("dkj,dji->dki", self._draw_corners, mats)
+        pts = world.reshape(-1, 4)[:, :3]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        center = (lo + hi) * 0.5
+        radius = 0.5 * float(np.linalg.norm(hi - lo)) + 1e-3
         eye = center - self.light_dir * (2.0 * radius)
         up = (0, 1, 0) if abs(self.light_dir[1]) < 0.95 else (1, 0, 0)
         view = zm.look_at_rh(
             zm.load_vec3(eye), zm.load_vec3(center), zm.vec3(*up)
         )
         proj = zm.orthographic_rh(2.2 * radius, 2.2 * radius, 0.1, 4.5 * radius)
-        return zm.mul(view, proj)
+        vp = zm.mul(view, proj)
+        if static:
+            self._static_light_vp = vp
+        return vp
 
     # -- frame pipeline -----------------------------------------------------
 
@@ -168,6 +197,9 @@ class Renderer:
                 return passes.build_shadowed_frame(
                     *args, self.texture, shadow_size=cfg.shadow_size,
                     interpret=cfg.debug,
+                    shadow_bias=cfg.shadow_bias,
+                    shadow_slope_bias=cfg.shadow_slope_bias,
+                    pcf_taps=cfg.pcf_taps,
                 )
             if cfg.pipeline == "deferred":
                 return passes.build_deferred_frame(*args, interpret=cfg.debug)
@@ -293,7 +325,9 @@ class Renderer:
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
-                    light_vp = self._light_view_proj()
+                    light_vp = self._light_view_proj(
+                        None if transforms is None else c["node_to_world"]
+                    )
                     light_matrices = np.einsum(
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)

@@ -133,12 +133,20 @@ def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
 
 
 def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
-                      bias: float = 2e-3, taps: int = 1):
+                      bias: float = 2e-3, taps: int = 1,
+                      normal=None, light_dir=None,
+                      slope_bias: float = 3e-3, max_bias: float = 1.2e-2):
     """Percentage-closer filtering against a depth-only shadow map.
 
     shadow_depth: (Sh, Sw) z in [0, 1] from the light's pass;
     light_view_proj: (4, 4) row-vector.  Returns (H, W) in [0, 1]
     (1 = fully lit).  (2*taps+1)^2 kernel.
+
+    With ``normal`` (H, W, 3 — unit) and ``light_dir`` (3, — unit, pointing
+    FROM the light), the depth bias is slope-scaled: grazing geometry
+    (N.L -> 0) gets up to ``max_bias`` via the standard
+    ``slope_bias * tan(acos(N.L))`` rule, killing acne on silhouettes
+    without peter-panning flat-on surfaces.
     """
     sh, sw = shadow_depth.shape
     clip = jnp.einsum(
@@ -151,6 +159,18 @@ def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
     sy = (1.0 - ndc[..., 1]) * (sh * 0.5)
     z = ndc[..., 2]
 
+    total_bias = jnp.float32(bias)
+    if normal is not None and light_dir is not None:
+        ndotl = jnp.clip(
+            jnp.sum(normal * (-jnp.asarray(light_dir))[None, None, :], axis=-1),
+            1e-3, 1.0,
+        )
+        tan_theta = jnp.sqrt(jnp.maximum(1.0 - ndotl * ndotl, 0.0)) / ndotl
+        total_bias = jnp.minimum(
+            jnp.float32(bias) + jnp.float32(slope_bias) * tan_theta,
+            jnp.float32(max_bias),
+        )
+
     ix = jnp.clip(sx.astype(jnp.int32), 0, sw - 1)
     iy = jnp.clip(sy.astype(jnp.int32), 0, sh - 1)
     total = jnp.zeros(z.shape, jnp.float32)
@@ -162,7 +182,7 @@ def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
             ty = jnp.clip(iy + dy, 0, sh - 1)
             # Single-axis gather (see ops/sampling.py:_gather_level).
             occluder = jnp.take(flat, ty * sw + tx, axis=0)
-            total = total + (z - bias <= occluder).astype(jnp.float32)
+            total = total + (z - total_bias <= occluder).astype(jnp.float32)
     lit = total / count
     inside = (
         (ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
