@@ -57,7 +57,7 @@ def test_tiled_lighting_interpret_basic():
     )
     assert rgb.shape == (h, w, 3)
     # Red light head-on: red channel lit well above ambient, green near ambient.
-    assert rgb[:, :, 0].max() > 0.15
+    assert rgb[:, :, 0].max() > 0.1  # GGX diffuse: albedo/pi * N.L * rad
     assert rgb[:, :, 1].max() < 0.05
     # Uncovered pixels are zeroed.
     covered2 = covered.at[0, 0].set(False)

@@ -95,15 +95,17 @@ def test_pallas_gbuffer_interpret_parity_with_xla():
         flat.vert_node, W, H,
     )
 
-    rgba_x, depth_x, u_x, v_x, nx_x, ny_x, nz_x = [
+    outs_x = [
         np.asarray(o) for o in raster_xla.rasterize_gbuffer_xla(
             jnp.asarray(ti), jnp.asarray(tf), W, H
         )
     ]
+    rgba_x, depth_x, u_x, v_x, nx_x, ny_x, nz_x = outs_x[:7]
     outs = rp.rasterize_gbuffer_pallas(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
-    color_p, depth_p, u_p, v_p, nx_p, ny_p, nz_p = [np.asarray(o) for o in outs]
+    outs_p = [np.asarray(o) for o in outs]
+    color_p, depth_p, u_p, v_p, nx_p, ny_p, nz_p = outs_p[:7]
     rgba_p = np.asarray(rp.unpack_rgba8(jnp.asarray(color_p)))
 
     cov_x = depth_x < 1.0
@@ -113,3 +115,36 @@ def test_pallas_gbuffer_interpret_parity_with_xla():
     assert np.abs(rgba_p.astype(int) - rgba_x.astype(int)).max() <= 1
     for a, b in ((u_p, u_x), (v_p, v_x), (nx_p, nx_x), (ny_p, ny_x), (nz_p, nz_x)):
         np.testing.assert_allclose(a, b, atol=1e-5)
+    # Material constant planes (met/rgh/emissive/tex) agree exactly.
+    for a, b in zip(outs_p[7:], outs_x[7:]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_hbm_gbuffer_matches_vmem_gbuffer():
+    """The HBM-streaming G-buffer kernel (lit/deferred past the VMEM
+    triangle budget, VERDICT r1 item 5) agrees with the VMEM-resident
+    G-buffer kernel on every plane, including material constants."""
+    W, H = 128, 32
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    mat_table = np.zeros((flat.draw_count, g.MATERIAL_COLS), np.float32)
+    mat_table[0] = (1.0, 0.2, 0.0, 0.1, 0.0, 1.0)
+    mat_table[1] = (0.0, 0.8, 0.3, 0.0, 0.0, 2.0)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H, material_table=mat_table,
+    )
+    vmem = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )]
+    hbm = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas_hbm(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )]
+    assert (vmem[1] < 1.0).mean() > 0.1  # scene covered
+    for a, b in zip(vmem, hbm):
+        np.testing.assert_array_equal(a, b)
+    # Material constants landed per draw (two distinct tex layers on screen).
+    tex_plane = vmem[12][vmem[1] < 1.0]
+    assert set(np.unique(tex_plane)) == {1.0, 2.0}

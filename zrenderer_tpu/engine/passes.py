@@ -25,22 +25,25 @@ from zrenderer_tpu.ops import raster_pallas, raster_xla, sampling, shading
 
 def _gbuffer(backend, b, matrices, normal_mats, width, height,
              pad_height, pad_width, interpret):
+    """Returns (rgba, depth, u, v, nx, ny, nz, met, rgh, em r/g/b, tex) —
+    per-pixel uv/normal interpolants plus the winning draw's material
+    constants and texture layer (the per-draw SRV/material binding analog,
+    zd3d12.zig:1273-1356).  The material table rides the buffer dict as
+    b['materials'] (D, MATERIAL_COLS)."""
+    mat = b.get("materials")
     if backend == "pallas":
-        color, depth, u, v, nx, ny, nz = raster_pallas.render_gbuffer_pallas(
+        outs = raster_pallas.render_gbuffer_pallas(
             b["positions"], b["attrs"], b["tri_vidx"], matrices,
             b["vert_node"], normal_mats, width, height,
-            pad_height, pad_width, interpret=interpret,
+            pad_height, pad_width, interpret=interpret, material_table=mat,
         )
-        rgba = raster_pallas.unpack_rgba8(color)
-    else:
-        ti, tf = g.geometry_pipeline(
-            jnp, b["positions"], b["attrs"], b["tri_vidx"], matrices,
-            b["vert_node"], width, height, normal_matrices=normal_mats,
-        )
-        rgba, depth, u, v, nx, ny, nz = raster_xla.rasterize_gbuffer_xla(
-            ti, tf, width, height
-        )
-    return rgba, depth, u, v, nx, ny, nz
+        return [raster_pallas.unpack_rgba8(outs[0])] + list(outs[1:])
+    ti, tf = g.geometry_pipeline(
+        jnp, b["positions"], b["attrs"], b["tri_vidx"], matrices,
+        b["vert_node"], width, height, normal_matrices=normal_mats,
+        material_table=mat,
+    )
+    return list(raster_xla.rasterize_gbuffer_xla(ti, tf, width, height))
 
 
 def _depth_only(backend, b, light_matrices, size, interpret):
@@ -59,29 +62,50 @@ def _depth_only(backend, b, light_matrices, size, interpret):
     return depth
 
 
+def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
+                   layered: bool):
+    """Vertex rgb x (tri)linear texture sample; with a texture array the
+    per-pixel layer plane (from the G-buffer) picks the draw's texture."""
+    uv = jnp.stack([u, v], axis=-1)
+    lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
+    layer = tex_layer.astype(jnp.int32) if layered else None
+    tex = sampling.sample_trilinear(
+        tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
+    )
+    return (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
+
+
 def build_lit_frame(backend, width, height, pad_height, pad_width,
                     texture, interpret=False):
-    """Config 1: textured + Blinn-Phong point light, Z-buffered."""
+    """Config 1: textured + Blinn-Phong point light, Z-buffered.
+
+    Materials modulate the Blinn-Phong knobs per pixel (roughness ->
+    exponent via the Beckmann-to-Phong mapping, metallic -> specular
+    strength) and emissive adds after lighting; ``texture`` may be a
+    Texture or a TextureArray (per-draw texture binding)."""
 
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
     levels = texture.num_levels
+    layered = getattr(texture, "num_layers", 1) > 1
 
     def frame(b, tex_atlas_u32, matrices, normal_mats, inv_view_proj,
               cam_pos, light_pos, light_color):
-        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+        (rgba, depth, u, v, nx, ny, nz,
+         met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
             pad_height, pad_width, interpret,
         )
         covered = depth < 1.0
-        uv = jnp.stack([u, v], axis=-1)
-        lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
-        tex = sampling.sample_trilinear(tex_atlas_u32, th, tw, levels, uv, lod)
-        albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
+        albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
+                                th, tw, levels, layered)
         normal = jnp.stack([nx, ny, nz], axis=-1)
         world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
+        specular, shininess = shading.blinn_params_from_material(met, rgh)
         lit = shading.blinn_phong(
-            albedo, normal, world, cam_pos, light_pos, light_color
+            albedo, normal, world, cam_pos, light_pos, light_color,
+            specular=specular, shininess=shininess,
         )
+        lit = lit + jnp.stack([emr, emg, emb], axis=-1)
         return shading.tonemap_and_pack(lit, covered), depth
 
     return frame
@@ -96,21 +120,22 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
     levels = texture.num_levels
 
+    layered = getattr(texture, "num_layers", 1) > 1
+
     def frame(b, tex_atlas_u32, matrices, normal_mats, inv_view_proj,
               cam_pos, light_matrices, light_view_proj, light_dir,
               light_color):
         shadow_depth = _depth_only(
             backend, b, light_matrices, shadow_size, interpret
         )
-        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+        (rgba, depth, u, v, nx, ny, nz,
+         met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
             pad_height, pad_width, interpret,
         )
         covered = depth < 1.0
-        uv = jnp.stack([u, v], axis=-1)
-        lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
-        tex = sampling.sample_trilinear(tex_atlas_u32, th, tw, levels, uv, lod)
-        albedo = (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
+        albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
+                                th, tw, levels, layered)
         normal = jnp.stack([nx, ny, nz], axis=-1)
         n = normal / jnp.maximum(
             jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8
@@ -128,22 +153,27 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
         ambient = 0.10
         rgb = albedo * (ambient + ndotl[..., None] * lit_mask[..., None]
                         * light_color[None, None, :])
+        rgb = rgb + jnp.stack([emr, emg, emb], axis=-1)
         return shading.tonemap_and_pack(rgb, covered), depth, shadow_depth
 
     return frame
 
 
 def build_deferred_frame(backend, width, height, pad_height, pad_width,
-                         metallic=0.0, roughness=0.4, interpret=False):
-    """Config 3: deferred G-buffer + lighting with many point lights.
+                         interpret=False):
+    """Config 3: deferred G-buffer + GGX lighting with many point lights.
 
-    On the Pallas backend the light loop runs in the tiled deferred-lighting
-    kernel (ops/light_kernel.py) with per-tile light culling; the XLA
-    backend uses the chunked GGX reference (ops/shading.py)."""
+    Per-draw materials drive the BRDF per pixel: metallic/roughness planes
+    from the G-buffer feed GGX (f0, distribution, geometry), emissive adds
+    after the light loop.  On the Pallas backend the light loop runs in the
+    tiled deferred-lighting kernel (ops/light_kernel.py) with per-tile
+    light culling; the XLA backend uses the chunked GGX reference
+    (ops/shading.py) — same BRDF, the parity pair."""
 
     def frame(b, matrices, normal_mats, inv_view_proj, cam_pos,
               light_pos, light_color, view_proj):
-        rgba, depth, u, v, nx, ny, nz = _gbuffer(
+        (rgba, depth, u, v, nx, ny, nz,
+         met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
             pad_height, pad_width, interpret,
         )
@@ -164,13 +194,14 @@ def build_deferred_frame(backend, width, height, pad_height, pad_width,
             rgb = tiled_deferred_lighting(
                 pad(albedo), pad(normal), pad(world), pad(covered),
                 cam_pos, light_pos, light_color, view_proj,
-                roughness=roughness, interpret=interpret,
+                roughness=pad(rgh), metallic=pad(met), interpret=interpret,
             )[:height, :width]
         else:
             rgb = shading.ggx_shade_many_lights(
                 albedo, normal, world, cam_pos, light_pos, light_color,
-                metallic=metallic, roughness=roughness,
+                metallic=met, roughness=rgh,
             )
+        rgb = rgb + jnp.stack([emr, emg, emb], axis=-1)
         return shading.tonemap_and_pack(rgb, covered), depth
 
     return frame

@@ -66,6 +66,7 @@ class Renderer:
         """Flatten + upload scene geometry (the VB/IB upload analog)."""
         with ztracy.zone("load_scene"):
             self.scene = scene
+            self.mesh_data = mesh_data
             self.flat = flatten_scene(
                 scene,
                 mesh_data,
@@ -103,6 +104,7 @@ class Renderer:
                             k += 1
             self._draw_corners = corners
             self._static_light_vp = None
+            self._upload_material_table()
             log.info(
                 "scene uploaded: %d draws, %d verts (%d padded), %d tris (%d padded)",
                 f.draw_count,
@@ -116,13 +118,47 @@ class Renderer:
 
     def set_environment(self, texture=None, light_pos=(4.0, 8.0, 6.0),
                         light_color=(1.0, 1.0, 1.0), lights=None,
-                        light_dir=(-0.5, -1.0, -0.35)):
+                        light_dir=(-0.5, -1.0, -0.35),
+                        textures=None, material_textures=None):
         """Bind the lit pipelines' resources: a Texture (None = 1x1 white),
         one point light (lit), a light array (deferred), or a directional
-        light (shadowed)."""
-        from zrenderer_tpu.engine.textures import white_texture
+        light (shadowed).
 
-        self.texture = texture if texture is not None else white_texture()
+        Per-draw texture binding (the per-draw SRV analog,
+        zd3d12.zig:1273-1356): pass ``textures`` (a list of same-size
+        Texture objects, stacked into a TextureArray) plus
+        ``material_textures`` mapping material index -> layer index
+        (-1 / missing = untextured; an all-white layer is appended for
+        those).  Draws resolve to layers through their mesh's material.
+        """
+        from zrenderer_tpu.engine.textures import (
+            Texture, TextureArray, white_texture,
+        )
+
+        self._material_tex_layer = None
+        if textures is not None:
+            import numpy as _np
+
+            h, w = textures[0].base_shape
+            white = Texture.from_array(
+                _np.ones((h, w, 4), _np.float32),
+                num_levels=textures[0].num_levels,
+            )
+            array = TextureArray.from_textures(list(textures) + [white])
+            white_layer = array.num_layers - 1
+            mats = getattr(self, "mesh_data", None)
+            num_materials = len(mats.materials) if mats else 0
+            mapping = np.full(max(num_materials, 1), white_layer, np.int32)
+            if material_textures is not None:
+                for mi, layer in enumerate(material_textures):
+                    if 0 <= mi < len(mapping) and layer >= 0:
+                        mapping[mi] = layer
+            self._material_tex_layer = mapping
+            self._white_layer = white_layer
+            self.texture = array
+        else:
+            self._white_layer = 0
+            self.texture = texture if texture is not None else white_texture()
         self.light_pos = np.asarray(light_pos, np.float32)
         self.light_color = np.asarray(light_color, np.float32)
         d = np.asarray(light_dir, np.float32)
@@ -133,6 +169,36 @@ class Renderer:
                       np.asarray([light_color], np.float32))
         self.lights = (np.asarray(lights[0], np.float32),
                        np.asarray(lights[1], np.float32))
+        if self.flat is not None:
+            self._upload_material_table()
+
+    def _upload_material_table(self) -> None:
+        """Per-draw material constants (metallic, roughness, emissive rgb,
+        texture layer) -> device table consumed by the G-buffer stage.
+        Draws without a material get the Material defaults + white layer."""
+        from zrenderer_tpu.ops.geometry import MATERIAL_COLS
+
+        mats = getattr(self, "mesh_data", None)
+        tex_layer = getattr(self, "_material_tex_layer", None)
+        table = np.zeros((self.flat.draw_count, MATERIAL_COLS), np.float32)
+        table[:, 1] = 0.5  # default roughness (Material dataclass default)
+        # Draws without a material sample the white layer (no-op texture).
+        table[:, 5] = float(getattr(self, "_white_layer", 0))
+        for d, mesh_index in enumerate(self.flat.draw_mesh):
+            mi = -1
+            if mats is not None and mats.mesh_material:
+                mi = mats.mesh_material[mesh_index]
+            if mi is None or mi < 0:
+                continue
+            m = mats.materials[mi]
+            table[d, 0] = m.metallic
+            table[d, 1] = m.roughness
+            table[d, 2:5] = m.emissive
+            if tex_layer is not None and mi < len(tex_layer):
+                table[d, 5] = float(tex_layer[mi])
+        self._device_buffers["materials"] = jax.device_put(
+            table, self.device
+        )
 
     def _light_view_proj(self, node_to_world=None) -> np.ndarray:
         """Directional-light ortho view-proj fitted to the scene's world
@@ -171,7 +237,9 @@ class Renderer:
         # build time, so rebinding a different-sized texture must recompile.
         tex_key = None
         if cfg.pipeline != "flat" and hasattr(self, "texture"):
-            tex_key = (tuple(self.texture.base_shape), self.texture.num_levels)
+            tex_key = (tuple(self.texture.base_shape),
+                       self.texture.num_levels,
+                       getattr(self.texture, "num_layers", 1))
         key = (
             self.backend,
             cfg.content_hash(),

@@ -58,6 +58,46 @@ class Texture:
         return cls.from_array(read_png(path), num_levels)
 
 
+@dataclass
+class TextureArray:
+    """Uniform-size texture array: L mip-strip atlases stacked vertically
+    into one device array — the texture-array/per-draw-SRV analog
+    (zd3d12.zig:1273-1356).  Layer selection is a per-pixel row offset in
+    the sampler (ops/sampling.py), so one gather path serves every draw.
+    Like D3D12 texture arrays, all layers share one (h, w, mips) shape.
+    """
+
+    atlas_u32: jax.Array  # (L*h, 2w) uint32 RGBA8-packed
+    num_levels: int
+    base_shape: tuple  # (h, w) of one layer
+    num_layers: int
+
+    @classmethod
+    def from_textures(cls, textures):
+        """Stack Texture objects (same base size and mip count)."""
+        assert textures, "need at least one texture"
+        base = textures[0]
+        for t in textures:
+            assert tuple(t.base_shape) == tuple(base.base_shape), (
+                "texture arrays require uniform layer sizes "
+                f"({t.base_shape} != {base.base_shape})"
+            )
+            assert t.num_levels == base.num_levels
+        atlas = jnp.concatenate([t.atlas_u32 for t in textures], axis=0)
+        return cls(
+            atlas_u32=atlas,
+            num_levels=base.num_levels,
+            base_shape=tuple(base.base_shape),
+            num_layers=len(textures),
+        )
+
+    @classmethod
+    def from_images(cls, images, num_levels: int | None = None):
+        return cls.from_textures(
+            [Texture.from_array(img, num_levels) for img in images]
+        )
+
+
 def checkerboard(size: int = 256, cells: int = 8,
                  color_a=(1.0, 1.0, 1.0), color_b=(0.25, 0.25, 0.3)) -> np.ndarray:
     """Procedural checker texture (test/demo content)."""

@@ -41,6 +41,7 @@ class FlatScene:
     node_to_world: np.ndarray  # (D, 4, 4) f32, one per draw
     num_triangles: int  # valid triangles before padding
     num_vertices: int
+    draw_mesh: np.ndarray = None  # (D,) int32 mesh index of each draw
 
     @property
     def draw_count(self) -> int:
@@ -63,6 +64,7 @@ def flatten_scene(scene, mesh_data, pad: bool = True,
     tri_vidx = []
     vert_node = []
     node_mats = []
+    draw_mesh = []
     vbase = 0
 
     for node in scene.nodes:
@@ -77,6 +79,7 @@ def flatten_scene(scene, mesh_data, pad: bool = True,
 
             draw_id = len(node_mats)
             node_mats.append(transform)
+            draw_mesh.append(mesh_index)
 
             pos = np.ones((len(verts), 4), np.float32)
             pos[:, :3] = verts[:, V_POSITION]
@@ -132,4 +135,5 @@ def flatten_scene(scene, mesh_data, pad: bool = True,
         node_to_world=np.stack(node_mats, axis=0).astype(np.float32),
         num_triangles=num_triangles,
         num_vertices=num_vertices,
+        draw_mesh=np.asarray(draw_mesh, np.int32),
     )

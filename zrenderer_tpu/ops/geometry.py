@@ -74,7 +74,10 @@ NI32 = 20
 
 # Triangle setup float column layout (Tsetup, NF32).  Columns 15+ carry the
 # extended interpolants used by the textured/lit pipelines (G-buffer path);
-# the flat-color kernel reads only the first 15.
+# the flat-color kernel reads only the first 15.  Columns 30-35 are
+# per-triangle CONSTANTS (no vertex interpolation): the draw's material
+# parameters + texture layer — the per-draw SRV/material binding analog
+# (zd3d12.zig:1273-1356), latched by the G-buffer kernel into planes.
 F_ZA0, F_ZA1, F_ZA2 = range(3)
 F_RW0, F_RW1, F_RW2 = range(3, 6)
 F_CR0, F_CR1, F_CR2 = range(6, 9)
@@ -85,7 +88,10 @@ F_V0, F_V1, F_V2 = range(18, 21)
 F_NX0, F_NX1, F_NX2 = range(21, 24)
 F_NY0, F_NY1, F_NY2 = range(24, 27)
 F_NZ0, F_NZ1, F_NZ2 = range(27, 30)
-NF32 = 32
+F_MET, F_RGH, F_EMR, F_EMG, F_EMB, F_TEX = range(30, 36)
+MATERIAL_COLS = 6  # metallic, roughness, emissive rgb, texture layer
+# 40 keeps the HBM-streaming slab 1024-aligned (128 * 40 = 5 * 1024).
+NF32 = 40
 
 
 def view_proj_from_camera(camera, width: int, height: int) -> np.ndarray:
@@ -274,9 +280,13 @@ def clip_triangles(xp, tris, width: int, height: int):
 # ---------------------------------------------------------------------------
 
 
-def setup_triangles(xp, tris, valid, width: int, height: int):
+def setup_triangles(xp, tris, valid, width: int, height: int,
+                    const_cols=None):
     """Viewport transform, subpixel snap, facing/cull, edge + interpolation
     setup.  tris: (T, 3, ATTR_FLOATS) post-clip, valid: (T,).
+
+    ``const_cols`` (optional, (T, MATERIAL_COLS) f32): per-triangle constant
+    columns (material params + texture layer) copied into F_MET..F_TEX.
 
     Returns (tri_i32 (T, NI32) int32, tri_f32 (T, NF32) float32).
     Culled/invalid triangles get an empty bbox (jmin > jmax) and valid=0.
@@ -374,6 +384,8 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
     uvw = varr[..., 8:10] * rw[..., None]  # u/w, v/w
     nw = varr[..., 10:13] * rw[..., None]  # world-space normal / w
 
+    if const_cols is None:
+        const_cols = xp.zeros((tris.shape[0], MATERIAL_COLS), f32)
     tri_f32 = xp.concatenate(
         [
             za,  # F_ZA*
@@ -386,7 +398,8 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
             nw[..., 0],  # F_NX*
             nw[..., 1],  # F_NY*
             nw[..., 2],  # F_NZ*
-            xp.zeros((tris.shape[0], NF32 - 30), f32),
+            const_cols.astype(f32),  # F_MET..F_TEX
+            xp.zeros((tris.shape[0], NF32 - 30 - MATERIAL_COLS), f32),
         ],
         axis=1,
     ).astype(f32)
@@ -394,11 +407,16 @@ def setup_triangles(xp, tris, valid, width: int, height: int):
 
 
 def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
-                      width: int, height: int, normal_matrices=None):
+                      width: int, height: int, normal_matrices=None,
+                      material_table=None):
     """Full shared geometry stage: transform, assemble, clip, setup.
 
     ``normal_matrices`` (optional, (M, 3, 3)): per-draw inverse-transpose
     rotations for world-space normals (needed by the lit pipelines).
+    ``material_table`` (optional, (M, MATERIAL_COLS) f32): per-draw material
+    constants (metallic, roughness, emissive rgb, texture layer) — each
+    triangle carries its draw's row (via vertex 0's node id, constant across
+    the triangle by construction), fan-expanded with the clip stage.
     Returns (tri_i32, tri_f32) of static shape (FAN_SLOTS * T, ...).
     """
     clip_pos = transform_positions(xp, positions, matrices, node_ids)
@@ -406,7 +424,14 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
         attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
     tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
     fan, fan_valid = clip_triangles(xp, tris, width, height)
-    return setup_triangles(xp, fan, fan_valid, width, height)
+    const_cols = None
+    if material_table is not None:
+        tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
+        per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
+        # Fan slots are slot-major: slot j of every input triangle first.
+        const_cols = xp.tile(per_tri, (FAN_SLOTS, 1))
+    return setup_triangles(xp, fan, fan_valid, width, height,
+                           const_cols=const_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,12 @@ def light_screen_bounds(light_pos, light_color, view_proj,
 
 def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
                         alb_r, alb_g, alb_b, nx, ny, nz, wx, wy, wz, mask,
+                        met, rgh,
                         out_r, out_g, out_b):
+    """Cook-Torrance GGX per (tile, light) — the same BRDF as the XLA
+    reference (ops/shading.py:ggx_shade_many_lights), with per-pixel
+    metallic/roughness planes from the G-buffer driving f0, the
+    distribution, and geometry terms (the material system's hot path)."""
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     row0 = tile_i * TILE_H
@@ -78,11 +83,8 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
     cam_y = consts_ref[0, 1]
     cam_z = consts_ref[0, 2]
     ambient = consts_ref[0, 3]
-    roughness = consts_ref[0, 4]
-    spec_k = consts_ref[0, 5]
-    shininess = consts_ref[0, 6]
 
-    # Per-pixel prologue: normalize normal, view vector, base color.
+    # Per-pixel prologue: normalize normal + view, material-derived terms.
     nxv, nyv, nzv = nx[...], ny[...], nz[...]
     inv_nlen = jax.lax.rsqrt(
         jnp.maximum(nxv * nxv + nyv * nyv + nzv * nzv, 1e-12)
@@ -93,8 +95,20 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
     vx, vy, vz = cam_x - wxv, cam_y - wyv, cam_z - wzv
     inv_vlen = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
     vx, vy, vz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
+    ndotv = jnp.maximum(nxv * vx + nyv * vy + nzv * vz, 1e-4)
 
     ar, ag, ab = alb_r[...], alb_g[...], alb_b[...]
+    mv = met[...]
+    rv = rgh[...]
+    one_minus_m = 1.0 - mv
+    f0r = 0.04 * one_minus_m + ar * mv
+    f0g = 0.04 * one_minus_m + ag * mv
+    f0b = 0.04 * one_minus_m + ab * mv
+    a = rv * rv
+    a2 = a * a
+    k = (rv + 1.0) * (rv + 1.0) * 0.125  # Smith-Schlick k
+    gv = ndotv / (ndotv * (1.0 - k) + k)
+    inv_pi = jnp.float32(1.0 / jnp.pi)
 
     acc_r = ar * ambient
     acc_g = ag * ambient
@@ -122,27 +136,41 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
             cb = lights_ref[li, 5]
 
             dx, dy, dz = lx - wxv, ly - wyv, lz - wzv
-            d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-6)
-            inv_d = jax.lax.rsqrt(d2)
+            d2 = dx * dx + dy * dy + dz * dz
+            inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
             lxn, lyn, lzn = dx * inv_d, dy * inv_d, dz * inv_d
             ndotl = jnp.maximum(nxv * lxn + nyv * lyn + nzv * lzn, 0.0)
-            # Blinn half-vector specular with a roughness-driven exponent.
             hx, hy, hz = lxn + vx, lyn + vy, lzn + vz
             inv_h = jax.lax.rsqrt(
                 jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12)
             )
             ndoth = jnp.maximum(
-                nxv * hx * inv_h + nyv * hy * inv_h + nzv * hz * inv_h, 0.0
+                (nxv * hx + nyv * hy + nzv * hz) * inv_h, 0.0
             )
-            # pow via exp/log (VPU transcendentals)
-            spec = spec_k * jnp.exp(
-                shininess * jnp.log(jnp.maximum(ndoth, 1e-6))
-            ) * jnp.sign(ndotl)
-            atten = inv_d * inv_d  # 1/d^2 radiance falloff
+            vdoth = jnp.maximum(
+                (vx * hx + vy * hy + vz * hz) * inv_h, 0.0
+            )
+
+            # GGX distribution + Smith geometry + Schlick fresnel.
+            dterm = ndoth * ndoth * (a2 - 1.0) + 1.0
+            dist = a2 / jnp.maximum(jnp.pi * dterm * dterm, 1e-8)
+            gl = ndotl / (ndotl * (1.0 - k) + k)
+            gs = gv * gl
+            t = jnp.clip(1.0 - vdoth, 0.0, 1.0)
+            t2 = t * t
+            t5 = t2 * t2 * t
+            fr = f0r + (1.0 - f0r) * t5
+            fg = f0g + (1.0 - f0g) * t5
+            fb = f0b + (1.0 - f0b) * t5
+            spec_scale = dist * gs / jnp.maximum(4.0 * ndotv * ndotl, 1e-4)
+            rad = ndotl / jnp.maximum(d2, 1e-4)  # 1/d^2 radiance * N.L
             return (
-                acc_r + (ar * ndotl + spec) * (cr * atten),
-                acc_g + (ag * ndotl + spec) * (cg * atten),
-                acc_b + (ab * ndotl + spec) * (cb * atten),
+                acc_r + ((1.0 - fr) * one_minus_m * ar * inv_pi
+                         + fr * spec_scale) * cr * rad,
+                acc_g + ((1.0 - fg) * one_minus_m * ag * inv_pi
+                         + fg * spec_scale) * cg * rad,
+                acc_b + ((1.0 - fb) * one_minus_m * ab * inv_pi
+                         + fb * spec_scale) * cb * rad,
             )
 
         return jax.lax.cond(hit, lit, lambda _: (acc_r, acc_g, acc_b), None)
@@ -158,14 +186,14 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
 
 def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
                             light_pos, light_color, view_proj,
-                            ambient=0.03, roughness=0.4,
-                            specular=0.3, shininess=32.0,
+                            ambient=0.03, roughness=0.4, metallic=0.0,
                             interpret: bool = False):
-    """Run the tiled lighting kernel over a full frame.
+    """Run the tiled GGX lighting kernel over a full frame.
 
-    albedo/normal/world: (H, W, 3) f32; covered: (H, W) bool.
-    Returns (H, W, 3) f32 linear RGB.  H, W must be tile multiples
-    (the engine's padded framebuffer already is).
+    albedo/normal/world: (H, W, 3) f32; covered: (H, W) bool;
+    roughness/metallic: scalars OR per-pixel (H, W) planes (the G-buffer's
+    per-draw material constants).  Returns (H, W, 3) f32 linear RGB.
+    H, W must be tile multiples (the engine's padded framebuffer is).
     """
     h, w = covered.shape
     assert h % TILE_H == 0 and w % TILE_W == 0
@@ -177,9 +205,11 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     )
     bounds = light_screen_bounds(light_pos, light_color, view_proj, w, h)
     consts = jnp.asarray(
-        [[cam_pos[0], cam_pos[1], cam_pos[2], ambient, roughness,
-          specular, shininess, 0.0]], jnp.float32
+        [[cam_pos[0], cam_pos[1], cam_pos[2], ambient, 0.0, 0.0, 0.0, 0.0]],
+        jnp.float32,
     )
+    met = jnp.broadcast_to(jnp.asarray(metallic, jnp.float32), (h, w))
+    rgh = jnp.broadcast_to(jnp.asarray(roughness, jnp.float32), (h, w))
 
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
@@ -191,7 +221,7 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds
             pl.BlockSpec(memory_space=pltpu.VMEM),  # consts
-        ] + [tile_spec] * 10,
+        ] + [tile_spec] * 12,
         out_specs=[tile_spec] * 3,
         out_shape=[plane, plane, plane],
         interpret=interpret,
@@ -201,5 +231,6 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
         normal[..., 0], normal[..., 1], normal[..., 2],
         world[..., 0], world[..., 1], world[..., 2],
         covered.astype(jnp.int32),
+        met, rgh,
     )
     return jnp.stack([out_r, out_g, out_b], axis=-1)

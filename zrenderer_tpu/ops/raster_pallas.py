@@ -53,20 +53,28 @@ def _raster_kernel(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
 def _gbuffer_kernel(sup_ref, blk_ref, ti_ref, tf_ref,
                     color_ref, depth_ref, u_ref, v_ref,
                     nx_ref, ny_ref, nz_ref,
-                    zbuf, nr, ng, nb, den, nu, nv, nnx, nny, nnz):
+                    met_ref, rgh_ref, emr_ref, emg_ref, emb_ref, tex_ref,
+                    zbuf, nr, ng, nb, den, nu, nv, nnx, nny, nnz,
+                    smet, srgh, semr, semg, semb, stex):
     """G-buffer variant: additionally latches the winning triangle's
-    uv and world-space-normal numerators and resolves them to planes —
-    feeds the lit/deferred pipelines (ops/shading.py).  BASELINE.json
-    configs 1-3."""
+    uv and world-space-normal numerators (resolved to planes) plus its
+    per-draw material constants (metallic, roughness, emissive, texture
+    layer — the per-draw SRV/material binding analog, zd3d12.zig:1273-1356).
+    Feeds the lit/deferred pipelines (ops/shading.py).  BASELINE configs 1-3.
+    """
     _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                  zbuf, nr, ng, nb, den, row_base=0,
                  gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
-                 gbuf_scratch=(nu, nv, nnx, nny, nnz))
+                 gbuf_scratch=(nu, nv, nnx, nny, nnz),
+                 const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
+                             tex_ref),
+                 const_scratch=(smet, srgh, semr, semg, semb, stex))
 
 
 def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                  zbuf, nr, ng, nb, den, row_base,
-                 gbuf_refs=None, gbuf_scratch=None):
+                 gbuf_refs=None, gbuf_scratch=None,
+                 const_refs=None, const_scratch=None):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     row0 = row_base + tile_i * TILE_H
@@ -85,6 +93,9 @@ def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
     den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     if gbuf_scratch is not None:
         for buf in gbuf_scratch:
+            buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    if const_scratch is not None:
+        for buf in const_scratch:
             buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     num_supers = sup_ref.shape[0]
@@ -201,6 +212,13 @@ def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                         + ef2 * tf_ref[t, c0 + 2],
                         buf[...],
                     )
+            if const_scratch is not None:
+                # Per-triangle constants: latch the scalar, no interpolation.
+                for buf, col in zip(
+                    const_scratch,
+                    (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX),
+                ):
+                    buf[...] = jnp.where(ok, tf_ref[t, col], buf[...])
 
         return carry
 
@@ -228,6 +246,9 @@ def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
         nu, nv, nnx, nny, nnz = gbuf_scratch
         for ref, buf in zip(gbuf_refs, (nu, nv, nnx, nny, nnz)):
             ref[...] = jnp.where(covered, buf[...] * inv, jnp.float32(0.0))
+    if const_refs is not None:
+        for ref, buf in zip(const_refs, const_scratch):
+            ref[...] = buf[...]  # constants latched directly, no 1/w
 
 
 def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
@@ -263,13 +284,17 @@ VMEM_RESIDENT_MAX_TRIS = 32768
 I32_STRIDE_HBM = 24  # NI32=20 padded; 128*24 = 3072 = 3*1024
 
 
-def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
-                zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems):
+def _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems,
+                     gbuf_refs=None, gbuf_scratch=None,
+                     const_refs=None, const_scratch=None):
     """Large-scene variant: triangle setup stays in HBM as FLATTENED 1D
     arrays (HBM DMA slices need 128-aligned minor dims, so (T, 20) slabs
     cannot be sliced directly); blocks whose union bbox overlaps the tile
     are DMA'd into SMEM slabs (scalar reads from SMEM have no lane-alignment
-    restrictions).  Block/superblock bbox tables are small and stay VMEM."""
+    restrictions).  Block/superblock bbox tables are small and stay VMEM.
+    With gbuf/const refs it additionally latches uv/normal interpolants and
+    material constants — the G-buffer path for million-triangle scenes."""
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     row0 = tile_i * TILE_H
@@ -286,6 +311,8 @@ def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
     ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for buf in (gbuf_scratch or ()) + (const_scratch or ()):
+        buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     def tile_overlap(jmin, jmax, imin, imax):
         return (
@@ -350,6 +377,23 @@ def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
                 + ef2 * tf_buf[fb + g.F_CB2],
                 nb[...],
             )
+            if gbuf_scratch is not None:
+                for buf, c0 in zip(
+                    gbuf_scratch,
+                    (g.F_U0, g.F_V0, g.F_NX0, g.F_NY0, g.F_NZ0),
+                ):
+                    buf[...] = jnp.where(
+                        ok,
+                        ef0 * tf_buf[fb + c0] + ef1 * tf_buf[fb + c0 + 1]
+                        + ef2 * tf_buf[fb + c0 + 2],
+                        buf[...],
+                    )
+            if const_scratch is not None:
+                for buf, col in zip(
+                    const_scratch,
+                    (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX),
+                ):
+                    buf[...] = jnp.where(ok, tf_buf[fb + col], buf[...])
 
         return carry
 
@@ -408,6 +452,54 @@ def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
         chan(nr[...]) | (chan(ng[...]) << 8) | (chan(nb[...]) << 16) | (a << 24)
     )
     depth_ref[...] = zbuf[...]
+    if gbuf_refs is not None:
+        inv_cov = jnp.where(covered, inv, jnp.float32(0.0))
+        for ref, buf in zip(gbuf_refs, gbuf_scratch):
+            ref[...] = buf[...] * inv_cov
+    if const_refs is not None:
+        for ref, buf in zip(const_refs, const_scratch):
+            ref[...] = buf[...]
+
+
+def _hbm_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
+                zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems):
+    _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems)
+
+
+def _hbm_gbuffer_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm,
+                        color_ref, depth_ref, u_ref, v_ref,
+                        nx_ref, ny_ref, nz_ref,
+                        met_ref, rgh_ref, emr_ref, emg_ref, emb_ref, tex_ref,
+                        zbuf, nr, ng, nb, den,
+                        nu, nv, nnx, nny, nnz,
+                        smet, srgh, semr, semg, semb, stex,
+                        ti_buf, tf_buf, dma_sems):
+    """HBM-streaming G-buffer: lit/shadowed/deferred past the VMEM-resident
+    triangle budget (VERDICT r1 item 5)."""
+    _hbm_kernel_body(
+        sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
+        zbuf, nr, ng, nb, den, ti_buf, tf_buf, dma_sems,
+        gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
+        gbuf_scratch=(nu, nv, nnx, nny, nnz),
+        const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref, tex_ref),
+        const_scratch=(smet, srgh, semr, semg, semb, stex),
+    )
+
+
+def _hbm_flat_inputs(tri_i32, tri_f32):
+    """Flatten setup arrays to the 1024-aligned 1D layout HBM DMA needs."""
+    return (
+        jnp.pad(tri_i32, ((0, 0), (0, I32_STRIDE_HBM - g.NI32))).reshape(-1),
+        tri_f32.reshape(-1),
+    )
+
+
+_HBM_SLABS = [
+    pltpu.SMEM((g.RASTER_BLOCK * I32_STRIDE_HBM,), jnp.int32),
+    pltpu.SMEM((g.RASTER_BLOCK * g.NF32,), jnp.float32),
+    pltpu.SemaphoreType.DMA((2,)),
+]
 
 
 def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
@@ -425,8 +517,8 @@ def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ti in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tf in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ti in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tf in HBM
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
@@ -440,19 +532,43 @@ def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(5)
-        ] + [
-            pltpu.SMEM((g.RASTER_BLOCK * I32_STRIDE_HBM,), jnp.int32),
-            pltpu.SMEM((g.RASTER_BLOCK * g.NF32,), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + list(_HBM_SLABS),
         interpret=interpret,
-    )(
-        supers,
-        blocks,
-        jnp.pad(tri_i32, ((0, 0), (0, I32_STRIDE_HBM - g.NI32))).reshape(-1),
-        tri_f32.reshape(-1),
-    )
+    )(supers, blocks, *_hbm_flat_inputs(tri_i32, tri_f32))
     return color, depth
+
+
+def rasterize_gbuffer_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
+                                 interpret: bool = False,
+                                 compact: bool = True):
+    """HBM-streaming G-buffer raster — same outputs as
+    rasterize_gbuffer_pallas, for scenes past the VMEM triangle budget."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+
+    plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _hbm_gbuffer_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[tile_spec] * 13,
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(16)
+        ] + list(_HBM_SLABS),
+        interpret=interpret,
+    )(supers, blocks, *_hbm_flat_inputs(tri_i32, tri_f32))
+    return outs
 
 
 def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
@@ -553,10 +669,11 @@ def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
 
 def rasterize_gbuffer_pallas(tri_i32, tri_f32, width: int, height: int,
                              interpret: bool = False, compact: bool = True):
-    """G-buffer raster: returns (color u32, depth, u, v, nx, ny, nz) planes.
+    """G-buffer raster: returns (color u32, depth, u, v, nx, ny, nz,
+    metallic, roughness, emissive r/g/b, tex_layer) planes.
 
     color carries the resolved vertex-rgb (multiplied with the sampled
-    texture at shade time); uv/normal planes feed ops/shading.py.
+    texture at shade time); uv/normal/material planes feed ops/shading.py.
     """
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
@@ -572,31 +689,32 @@ def rasterize_gbuffer_pallas(tri_i32, tri_f32, width: int, height: int,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-        ] * 7,
-        out_shape=[
-            plane(jnp.uint32), plane(jnp.float32), plane(jnp.float32),
-            plane(jnp.float32), plane(jnp.float32), plane(jnp.float32),
-            plane(jnp.float32),
-        ],
+        ] * 13,
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
         scratch_shapes=[
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(10)
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(16)
         ],
         interpret=interpret,
     )(supers, blocks, tri_i32, tri_f32)
-    return outs  # color, depth, u, v, nx, ny, nz
+    return outs  # color, depth, u, v, nx, ny, nz, met, rgh, em r/g/b, tex
 
 
 def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                           normal_matrices,
                           width: int, height: int,
                           pad_height: int, pad_width: int,
-                          interpret: bool = False):
+                          interpret: bool = False, material_table=None):
     """Geometry pipeline + G-buffer raster; crops to the true viewport."""
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
-        normal_matrices=normal_matrices,
+        normal_matrices=normal_matrices, material_table=material_table,
     )
-    outs = rasterize_gbuffer_pallas(
+    raster = (
+        rasterize_gbuffer_pallas
+        if tri_i32.shape[0] <= VMEM_RESIDENT_MAX_TRIS
+        else rasterize_gbuffer_pallas_hbm
+    )
+    outs = raster(
         tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
     )
     return [o[:height, :width] for o in outs]

@@ -95,13 +95,14 @@ def rasterize_setup_xla(tri_i32, tri_f32, width: int, height: int):
 
 def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
     """G-buffer brute-force raster (CPU-testable twin of the Pallas
-    G-buffer kernel): returns (rgba_u8, depth, u, v, nx, ny, nz)."""
+    G-buffer kernel): returns (rgba_u8, depth, u, v, nx, ny, nz,
+    metallic, roughness, emissive r/g/b, tex_layer)."""
     half = g.SUBPIXEL // 2
     py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0) * g.SUBPIXEL + half
     px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1) * g.SUBPIXEL + half
 
     def body(t, state):
-        zbuf, planes = state
+        zbuf, planes, consts = state
         ti = tri_i32[t]
         tf = tri_f32[t]
         e0 = ti[6] * (py - ti[3]) - ti[7] * (px - ti[2])
@@ -123,13 +124,20 @@ def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
         ):
             num = _interp(ef0, ef1, ef2, tf[c0], tf[c0 + 1], tf[c0 + 2])
             new_planes.append(jnp.where(ok, num, planes[idx]))
-        return zbuf, tuple(new_planes)
+        new_consts = tuple(
+            jnp.where(ok, tf[col], consts[idx])
+            for idx, col in enumerate(
+                (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX)
+            )
+        )
+        return zbuf, tuple(new_planes), new_consts
 
     shape = (height, width)
     init_planes = tuple(jnp.zeros(shape, jnp.float32) for _ in range(9))
-    zbuf, planes = jax.lax.fori_loop(
+    init_consts = tuple(jnp.zeros(shape, jnp.float32) for _ in range(6))
+    zbuf, planes, consts = jax.lax.fori_loop(
         0, tri_i32.shape[0], body,
-        (jnp.full(shape, CLEAR_DEPTH, jnp.float32), init_planes),
+        (jnp.full(shape, CLEAR_DEPTH, jnp.float32), init_planes, init_consts),
     )
     den, nr, ng, nb, nu, nv, nnx, nny, nnz = planes
     covered = den > 0
@@ -139,6 +147,7 @@ def rasterize_gbuffer_xla(tri_i32, tri_f32, width: int, height: int):
     out = [pack_u8(rgba), zbuf]
     for numer in (nu, nv, nnx, nny, nnz):
         out.append(jnp.where(covered, numer * inv, jnp.float32(0.0)))
+    out.extend(consts)
     return tuple(out)
 
 

@@ -63,12 +63,16 @@ def _gather_flat(atlas_u32, flat_idx):
     )
 
 
-def sample_bilinear_level(atlas, base_h: int, base_w: int, uv, level):
+def sample_bilinear_level(atlas, base_h: int, base_w: int, uv, level,
+                          layer=None):
     """Bilinear sample at integer mip `level`.
 
-    atlas: (base_h, 2*base_w) uint32 RGBA8-packed strip atlas
-    (pack_texels_u32 of ops/mipmap.py:pack_mip_atlas); uv: (..., 2) in
-    [0,1) wrap space; level: (...) i32.  Returns (..., 4) f32.
+    atlas: (L*base_h, 2*base_w) uint32 RGBA8-packed strip atlas
+    (pack_texels_u32 of ops/mipmap.py:pack_mip_atlas); L same-size texture
+    layers stacked vertically — the texture-array analog of per-draw SRV
+    binding (zd3d12.zig:1273-1356).  uv: (..., 2) in [0,1) wrap space;
+    level: (...) i32; layer (optional): (...) i32 texture index (wrap
+    stays within the layer's own rows).  Returns (..., 4) f32.
     """
     lh, lw, off_x = _mip_geometry(base_h, base_w, level)
     w2 = atlas.shape[1]
@@ -78,10 +82,11 @@ def sample_bilinear_level(atlas, base_h: int, base_w: int, uv, level):
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0.astype(jnp.float32))[..., None]
     fy = (y - y0.astype(jnp.float32))[..., None]
+    row0 = 0 if layer is None else layer * jnp.int32(base_h)
 
     def fetch(ix, iy):
         ix = _wrap(ix, lw)
-        iy = _wrap(iy, lh)
+        iy = _wrap(iy, lh) + row0
         return _gather_flat(atlas, iy * w2 + (ix + off_x))
 
     c00 = fetch(x0, y0)
@@ -112,13 +117,13 @@ def mip_level_from_derivatives(uv, base_h: int, base_w: int, num_levels: int):
 
 
 def sample_trilinear(atlas, base_h: int, base_w: int, num_levels: int,
-                     uv, lod):
+                     uv, lod, layer=None):
     """Trilinear: bilinear at floor/ceil mips, lerped by the LOD fraction."""
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, num_levels - 1)
     f = (lod - l0.astype(jnp.float32))[..., None]
-    c0 = sample_bilinear_level(atlas, base_h, base_w, uv, l0)
-    c1 = sample_bilinear_level(atlas, base_h, base_w, uv, l1)
+    c0 = sample_bilinear_level(atlas, base_h, base_w, uv, l0, layer=layer)
+    c1 = sample_bilinear_level(atlas, base_h, base_w, uv, l1, layer=layer)
     return c0 * (1 - f) + c1 * f
 
 

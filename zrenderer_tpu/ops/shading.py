@@ -33,6 +33,20 @@ def reconstruct_world_pos(depth_ndc, inv_view_proj, width: int, height: int):
     return world[..., :3] / world[..., 3:4]
 
 
+def blinn_params_from_material(metallic, roughness):
+    """Map PBR metallic/roughness (per-pixel (H, W) planes from the
+    G-buffer) onto the Blinn-Phong knobs config 1 uses: the
+    Beckmann-to-Phong exponent ``2/alpha^2 - 2`` with alpha = roughness^2,
+    and a specular strength lerping dielectric 0.04 -> metal 1.0.
+    Returns (specular (H, W, 1), shininess (H, W, 1))."""
+    met = jnp.asarray(metallic, jnp.float32)[..., None]
+    r = jnp.asarray(roughness, jnp.float32)[..., None]
+    alpha = jnp.clip(r * r, 0.05, 1.0)
+    shininess = jnp.clip(2.0 / (alpha * alpha) - 2.0, 2.0, 1024.0)
+    specular = 0.04 + 0.96 * met
+    return specular, shininess
+
+
 def blinn_phong(albedo, normal, world_pos, cam_pos, light_pos, light_color,
                 ambient=0.08, specular=0.35, shininess=48.0,
                 attenuation=0.005):
@@ -87,16 +101,27 @@ def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
     """Cook-Torrance GGX with L point lights, evaluated in light chunks so
     the (H, W, chunk) broadcast stays VPU-friendly without blowing HBM.
 
-    light_pos/light_color: (L, 3).  Returns (H, W, 3).
+    light_pos/light_color: (L, 3).  ``metallic``/``roughness``: scalars or
+    per-pixel (H, W) planes (per-draw material constants from the
+    G-buffer).  Returns (H, W, 3).
     """
     n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
     v = cam_pos - world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
     ndotv = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
+    metallic = jnp.broadcast_to(
+        jnp.asarray(metallic, jnp.float32), albedo.shape[:2]
+    )[..., None]
+    roughness = jnp.broadcast_to(
+        jnp.asarray(roughness, jnp.float32), albedo.shape[:2]
+    )[..., None]
+    rough_l = roughness[..., None, :]  # broadcasts over the light chunk
+    met_l = metallic[..., None, :]
     f0 = 0.04 * (1.0 - metallic) + albedo * metallic
 
     num_lights = light_pos.shape[0]
-    assert num_lights % chunk == 0, "pad light count to the chunk size"
+    if num_lights % chunk:
+        chunk = num_lights  # small light counts: one chunk
     num_chunks = num_lights // chunk
     lp = light_pos.reshape(num_chunks, chunk, 3)
     lc = light_color.reshape(num_chunks, chunk, 3)
@@ -115,11 +140,11 @@ def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
         ndoth = jnp.maximum(jnp.sum(n[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
         vdoth = jnp.maximum(jnp.sum(v[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
 
-        d = _ggx_distribution(ndoth, roughness)
-        gs = _smith_ggx(ndotv[..., None, :], ndotl, roughness)
+        d = _ggx_distribution(ndoth, rough_l)
+        gs = _smith_ggx(ndotv[..., None, :], ndotl, rough_l)
         f = _fresnel_schlick(vdoth, f0[..., None, :])
         spec = d * gs * f / jnp.maximum(4.0 * ndotv[..., None, :] * ndotl, 1e-4)
-        kd = (1.0 - f) * (1.0 - metallic)
+        kd = (1.0 - f) * (1.0 - met_l)
         radiance = lcol[None, None] / jnp.maximum(dist2, 1e-4)
         contrib = (kd * albedo[..., None, :] / jnp.pi + spec) * radiance * ndotl
         return acc + contrib.sum(axis=-2)

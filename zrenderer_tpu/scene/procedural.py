@@ -37,13 +37,17 @@ _FACES = [
 ]
 
 
-def make_cube_mesh(mesh_data: MeshData, size: float = 1.0) -> int:
-    """Append a colored unit cube (24 verts, 36 indices); returns mesh index."""
+def make_cube_mesh(mesh_data: MeshData, size: float = 1.0,
+                   face_colors: bool = True) -> int:
+    """Append a colored unit cube (24 verts, 36 indices); returns mesh index.
+    ``face_colors=False`` makes every vertex white (texture/material tests)."""
     verts = []
     indices = []
     uvs = [(0, 0), (1, 0), (1, 1), (0, 1)]
     for normal, tangent, corners, color in _FACES:
         base = len(verts)
+        if not face_colors:
+            color = (1, 1, 1, 1)
         for corner, uv in zip(corners, uvs):
             pos = tuple(c * size for c in corner)
             verts.append(make_vertex(pos, uv=uv, color=color, normal=normal, tangent=tangent))
@@ -51,6 +55,38 @@ def make_cube_mesh(mesh_data: MeshData, size: float = 1.0) -> int:
     return mesh_data.append_mesh(
         np.stack(verts), np.array(indices, np.uint32)
     )
+
+
+def make_material_scene() -> tuple:
+    """Two side-by-side cubes with DIFFERENT materials: a smooth metal
+    (left) and a rough dielectric with green emissive (right) — the
+    material-system acceptance fixture (two meshes must visibly differ in
+    one frame through materials/textures alone)."""
+    from zrenderer_tpu.scene.mesh import Material
+
+    mesh_data = MeshData()
+    left = make_cube_mesh(mesh_data, face_colors=False)
+    right = make_cube_mesh(mesh_data, face_colors=False)
+    mesh_data.materials = [
+        Material(metallic=1.0, roughness=0.15, name="metal"),
+        Material(metallic=0.0, roughness=0.9, emissive=(0.0, 0.35, 0.0),
+                 name="rough-glow"),
+    ]
+    mesh_data.mesh_material = [0, 1]
+
+    scene = Scene()
+    scene.nodes.append(Node(mesh_indices=[left], transform_index=0,
+                            name="MetalCube"))
+    scene.transforms.append(zm.translation(-1.6, 0.0, 0.0))
+    scene.nodes.append(Node(mesh_indices=[right], transform_index=1,
+                            name="GlowCube"))
+    scene.transforms.append(zm.translation(1.6, 0.0, 0.0))
+    scene.cameras.append(
+        Camera(position=np.array([0.0, 0.0, 7.0], np.float32),
+               forward=np.array([0.0, 0.0, -1.0], np.float32),
+               yfov=0.8, znear=0.1, zfar=100.0, name="Camera")
+    )
+    return scene, mesh_data
 
 
 def make_test_camera() -> Camera:
