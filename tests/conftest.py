@@ -8,16 +8,38 @@ testing distributed code without a real cluster.
 NOTE: the execution environment pre-sets JAX_PLATFORMS to the TPU tunnel and
 its plugin overrides the env var, so the platform must be forced through
 jax.config (before any backend is touched).
+
+Hardware subset: ``ZRENDERER_TPU_TESTS=1 python -m pytest tests/ -m tpu``
+runs the @pytest.mark.tpu tests on the real chip (no CPU forcing); without
+the env var every test runs on the virtual CPU mesh and tpu-marked tests
+skip themselves.
 """
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import pytest
+
+RUN_ON_TPU = os.environ.get("ZRENDERER_TPU_TESTS", "") not in ("", "0")
+
+if not RUN_ON_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_ON_TPU:
+        return
+    skip = pytest.mark.skip(
+        reason="TPU hardware test (set ZRENDERER_TPU_TESTS=1 on a TPU host)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

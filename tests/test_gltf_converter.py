@@ -248,3 +248,84 @@ def test_mesh_folder_materials_not_aliased_across_files(tmp_path):
     assert md.mesh_material == [0, 1]
     np.testing.assert_allclose(md.materials[0].base_color, (1, 0, 0, 1))
     np.testing.assert_allclose(md.materials[1].base_color, (0, 0, 1, 1))
+
+
+def _pack_glb(doc: dict, bin_data: bytes) -> bytes:
+    """Build a GLB container (glTF 2.0 binary spec) from a JSON doc + BIN."""
+    import struct
+
+    doc = dict(doc)
+    doc["buffers"] = [dict(b) for b in doc.get("buffers", [])]
+    doc["buffers"][0].pop("uri", None)  # GLB: buffer 0 is the BIN chunk
+    payload = json.dumps(doc).encode("utf-8")
+    payload += b" " * ((-len(payload)) % 4)
+    bin_chunk = bin_data + b"\x00" * ((-len(bin_data)) % 4)
+    total = 12 + 8 + len(payload) + 8 + len(bin_chunk)
+    out = struct.pack("<3I", 0x46546C67, 2, total)
+    out += struct.pack("<2I", len(payload), 0x4E4F534A) + payload
+    out += struct.pack("<2I", len(bin_chunk), 0x004E4942) + bin_chunk
+    return out
+
+
+@needs_reference
+def test_glb_container_converts_byte_identical(tmp_path):
+    """The reference test.gltf re-packed as .glb converts to byte-identical
+    scene.bin/meshes.bin (GLB capability parity with cgltf)."""
+    with open(REFERENCE_GLTF, "r", encoding="utf-8") as f:
+        doc = json.load(f)
+    with open(os.path.join(os.path.dirname(REFERENCE_GLTF), "test.bin"),
+              "rb") as f:
+        bin_data = f.read()
+    glb_path = tmp_path / "test.glb"
+    glb_path.write_bytes(_pack_glb(doc, bin_data))
+
+    scene_a, md_a = convert_gltf_scene(REFERENCE_GLTF)
+    scene_b, md_b = convert_gltf_scene(str(glb_path))
+    assert md_a.serialize() == md_b.serialize()
+    assert scene_a.serialize() == scene_b.serialize()
+
+
+def test_glb_rejects_corrupt_container(tmp_path):
+    p = tmp_path / "bad.glb"
+    p.write_bytes(b"glTF" + b"\x07\x00\x00\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        convert_gltf_scene(str(p))
+
+
+@needs_reference
+def test_runtime_gltf_load_matches_converted_bins(tmp_path):
+    """Runtime glTF load (common.zig:539-667 capability): the app-facing
+    loader produces the same scene as the offline converter round trip."""
+    from zrenderer_tpu.scene.gltf_runtime import append_gltf_primitives, load_gltf
+
+    scene, md = load_gltf(REFERENCE_GLTF)
+    rc = converter_main(["-s", REFERENCE_GLTF, "-o", str(tmp_path)])
+    assert rc == 0
+    md_disk = MeshData.load(tmp_path / "meshes.bin")
+    assert md.serialize() == md_disk.serialize()
+    scene_disk = Scene.load(tmp_path / "scene.bin")
+    assert scene.serialize() == scene_disk.serialize()
+
+    # appendMeshPrimitive analog: add the same mesh into an existing blob.
+    n_before = len(md.meshes)
+    new = append_gltf_primitives(md, REFERENCE_GLTF, mesh_index=0)
+    assert len(md.meshes) == n_before + len(new)
+    assert md.meshes[new[0]].num_vertices == 48
+
+
+@needs_reference
+def test_app_runs_directly_off_gltf(tmp_path):
+    """The renderer app accepts a .gltf path (no offline conversion)."""
+    from zrenderer_tpu.app.main import main as app_main
+
+    rc = app_main([
+        "--scene", REFERENCE_GLTF, "--width", "128", "--height", "96",
+        "--frames", "1", "--backend", "xla", "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    out = tmp_path / "frame_0000.png"
+    assert out.exists()
+    from zrenderer_tpu.utils.png import read_png
+
+    img = read_png(out)
+    assert (img[..., :3].sum(axis=-1) > 0).mean() > 0.2

@@ -98,3 +98,90 @@ def test_meshes_probe_rejects_overflowing_mesh_count():
     blob = struct.pack("<5I", 0x12345678, nm, 20, 0, 0) + b"\x00" * 64
     with pytest.raises(ValueError):
         native.meshes_load(blob)
+
+
+def test_image_format_dispatch(tmp_path):
+    """WIC-analog breadth (utils.image): BMP, TGA (raw + RLE), PNM, PNG all
+    decode to the same RGBA pixels."""
+    import struct
+
+    from zrenderer_tpu.utils.image import read_image
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    expect = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], axis=2)
+
+    # PNG (round trip via the native encoder)
+    p = tmp_path / "t.png"
+    p.write_bytes(native.encode_png(expect))
+    np.testing.assert_array_equal(read_image(p)[..., :3], rgb)
+
+    # BMP (24bpp bottom-up, BGR, 4-byte row padding)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + rows.size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 0, 0, 0, 0)
+        + rows.tobytes()
+    )
+    p = tmp_path / "t.bmp"
+    p.write_bytes(bmp)
+    np.testing.assert_array_equal(read_image(p), expect)
+
+    # PNM P6
+    p = tmp_path / "t.ppm"
+    p.write_bytes(f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes())
+    np.testing.assert_array_equal(read_image(p), expect)
+
+    # TGA type 2 (uncompressed, bottom-up, BGR)
+    tga = bytearray(18)
+    tga[2] = 2
+    tga[12:14] = struct.pack("<H", w)
+    tga[14:16] = struct.pack("<H", h)
+    tga[16] = 24
+    tga += rgb[::-1, :, ::-1].tobytes()
+    p = tmp_path / "t.tga"
+    p.write_bytes(bytes(tga))
+    np.testing.assert_array_equal(read_image(p), expect)
+
+    # TGA type 10 (RLE): encode each row as one raw packet (<=128 px rows)
+    tga = bytearray(18)
+    tga[2] = 10
+    tga[12:14] = struct.pack("<H", w)
+    tga[14:16] = struct.pack("<H", h)
+    tga[16] = 24
+    bgr = rgb[::-1, :, ::-1]
+    for y in range(h):
+        tga += bytes([w - 1])  # raw packet of w pixels
+        tga += bgr[y].tobytes()
+    p = tmp_path / "rle.tga"
+    p.write_bytes(bytes(tga))
+    np.testing.assert_array_equal(read_image(p), expect)
+
+    # RLE-run packet path: a solid-color image as repeat packets
+    solid = np.full((4, 6, 3), (10, 200, 30), np.uint8)
+    tga = bytearray(18)
+    tga[2] = 10
+    tga[12:14] = struct.pack("<H", 6)
+    tga[14:16] = struct.pack("<H", 4)
+    tga[16] = 24
+    for _ in range(4):
+        tga += bytes([0x80 | (6 - 1)]) + bytes((30, 200, 10))
+    p = tmp_path / "run.tga"
+    p.write_bytes(bytes(tga))
+    np.testing.assert_array_equal(read_image(p)[..., :3], solid)
+
+
+def test_texture_from_image_file(tmp_path):
+    import struct
+
+    from zrenderer_tpu.engine.textures import Texture
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[:, :4] = (255, 0, 0)
+    p = tmp_path / "t.ppm"
+    p.write_bytes(b"P6\n8 8\n255\n" + rgb.tobytes())
+    t = Texture.from_image_file(p)
+    assert t.base_shape == (8, 8)

@@ -173,3 +173,49 @@ def test_material_section_optional_backward_compat():
     blob = mesh_data.serialize()
     again = MeshData.deserialize(blob)
     assert again.materials == [] and again.mesh_material == []
+
+
+def test_texs_section_roundtrip():
+    """TEXS texture table (uris + per-material indices) survives
+    serialize/deserialize; files without it load with empty tables."""
+    from zrenderer_tpu.scene.mesh import Material, MeshData, make_vertex
+    import numpy as np
+
+    md = MeshData()
+    md.append_mesh(
+        np.stack([make_vertex((0, 0, 0)), make_vertex((1, 0, 0)),
+                  make_vertex((0, 1, 0))]),
+        np.array([0, 1, 2], np.uint32),
+    )
+    md.materials = [Material(name="a"), Material(name="b")]
+    md.mesh_material = [1]
+    md.texture_uris = ["textures/wood.png", "bricks.bmp"]
+    md.material_texture = [1, -1]
+    back = MeshData.deserialize(md.serialize())
+    assert back.texture_uris == md.texture_uris
+    assert back.material_texture == [1, -1]
+    assert [m.name for m in back.materials] == ["a", "b"]
+
+    md.texture_uris = []
+    md.material_texture = []
+    back2 = MeshData.deserialize(md.serialize())
+    assert back2.texture_uris == [] and back2.material_texture == []
+
+
+def test_textures_from_mesh_data_loads_and_falls_back(tmp_path):
+    from zrenderer_tpu.engine.textures import textures_from_mesh_data
+    from zrenderer_tpu.scene.mesh import Material, MeshData
+    import numpy as np
+
+    md = MeshData()
+    md.materials = [Material(name="a")]
+    md.texture_uris = ["tex.ppm"]
+    md.material_texture = [0]
+    # Missing file -> graceful fallback
+    t, m = textures_from_mesh_data(md, str(tmp_path))
+    assert t is None and m is None
+    # Present file -> loads
+    rgb = np.full((8, 8, 3), 128, np.uint8)
+    (tmp_path / "tex.ppm").write_bytes(b"P6\n8 8\n255\n" + rgb.tobytes())
+    t, m = textures_from_mesh_data(md, str(tmp_path))
+    assert len(t) == 1 and m == [0]

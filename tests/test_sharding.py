@@ -89,3 +89,128 @@ def test_2d_mesh_geom_x_tiles_matches_single_device():
         np.asarray(depth_1).view(np.uint32),
     )
     np.testing.assert_array_equal(np.asarray(rgba_sh), np.asarray(rgba_1))
+
+
+def test_canonical_perm_restores_exact_setup_order():
+    """The static permutation restores the EXACT single-device setup-row
+    order (not just tie behavior) on a clip-heavy scene — clipping is what
+    makes per-shard-major differ from fan-slot-major."""
+    from zrenderer_tpu.parallel.tiles import canonical_order_perm
+
+    from zrenderer_tpu.scene.procedural import make_material_scene
+
+    rng = np.random.default_rng(5)
+    n_tris = 64
+    # Triangles straddling the near plane so fan slots >= 1 populate
+    # (vertex 1 sits BEHIND the camera at z=7 looking -z).
+    v0 = rng.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    verts = np.ones((3 * n_tris, 4), np.float32)
+    verts[0::3, :3] = v0 + [0, 0, 2.0]   # in front
+    verts[1::3, :3] = v0 + [0.3, 0.2, 9.0]  # behind the camera (clips)
+    verts[2::3, :3] = v0 + [1.0, 0, 2.0]
+    attrs = rng.uniform(0, 1, (3 * n_tris, 12)).astype(np.float32)
+    tri_vidx = np.arange(3 * n_tris, dtype=np.int32).reshape(-1, 3)
+    node_ids = np.zeros(3 * n_tris, np.int32)
+    cam = make_material_scene()[0].active_camera
+    vp = g.view_proj_from_camera(cam, W, H)
+    matrices = np.einsum("ij,jk->ik", np.eye(4, dtype=np.float32), vp)[None]
+
+    ti_full, tf_full = g.geometry_pipeline(
+        np, verts, attrs, tri_vidx, matrices, node_ids, W, H
+    )
+    per_slot = (ti_full[:, g.I_VALID] > 0).reshape(g.FAN_SLOTS, -1).sum(axis=1)
+    assert per_slot[1] > 0, "clipping must populate fan slot 1"
+
+    n_shards, ts = 4, n_tris // 4
+    ti_parts, tf_parts = [], []
+    for s in range(n_shards):
+        ti_s, tf_s = g.geometry_pipeline(
+            np, verts, attrs, tri_vidx[s * ts : (s + 1) * ts], matrices,
+            node_ids, W, H,
+        )
+        ti_parts.append(ti_s)
+        tf_parts.append(tf_s)
+    gathered_ti = np.concatenate(ti_parts, axis=0)
+    gathered_tf = np.concatenate(tf_parts, axis=0)
+    # Per-shard-major really differs from canonical here (the bug existed).
+    assert not np.array_equal(gathered_ti, ti_full)
+
+    perm = np.asarray(canonical_order_perm(n_shards, ts))
+    np.testing.assert_array_equal(gathered_ti[perm], ti_full)
+    np.testing.assert_array_equal(gathered_tf[perm], tf_full)
+
+
+def test_sharded_depth_tie_matches_single_device():
+    """Constructed exact depth tie across shard boundaries: two coplanar
+    quads with different colors submitted in order, split so they land in
+    different shards, plus near-clipped geometry that perturbs the gathered
+    order.  The sharded image must still equal the single-device image."""
+    rng = np.random.default_rng(11)
+    verts = []
+    attrs = []
+    # Quad A (red) then quad B (green): IDENTICAL geometry -> every covered
+    # pixel is an exact z tie; submission order (A first) must win.
+    quad = np.array(
+        [[-1, -1, 2.0], [1, -1, 2.0], [1, 1, 2.0],
+         [-1, -1, 2.0], [1, 1, 2.0], [-1, 1, 2.0]], np.float32
+    )
+    for color in ([1, 0, 0, 1], [0, 1, 0, 1]):
+        verts.append(quad)
+        a = np.zeros((6, 12), np.float32)
+        a[:, 0:4] = color
+        attrs.append(a)
+    # Filler triangles crossing the near plane (forces fan-slot-1 rows that
+    # reorder the per-shard gather).
+    for _ in range(10):
+        base = rng.uniform(-1, 1, 3).astype(np.float32)
+        tri = np.stack([
+            base + [0, 0, 2.0], base + [0.5, 0.2, 9.0], base + [1.0, 0.2, 2.0]
+        ])
+        verts.append(tri.astype(np.float32))
+        a = np.zeros((3, 12), np.float32)
+        a[:, 0:4] = rng.uniform(0, 1, 4)
+        attrs.append(a)
+
+    pos = np.ones((sum(len(v) for v in verts), 4), np.float32)
+    pos[:, :3] = np.concatenate(verts)
+    attrs = np.concatenate(attrs).astype(np.float32)
+    n_all = len(pos) // 3
+    pad = (-n_all) % 4
+    if pad:  # pad to the shard count with degenerate triangles
+        pos = np.concatenate([pos, np.ones((3 * pad, 4), np.float32)])
+        attrs = np.concatenate([attrs, np.zeros((3 * pad, 12), np.float32)])
+        n_all += pad
+    tri_vidx = np.arange(3 * n_all, dtype=np.int32).reshape(-1, 3)
+    node_ids = np.zeros(len(pos), np.int32)
+    from zrenderer_tpu.scene.procedural import make_material_scene
+
+    cam = make_material_scene()[0].active_camera
+    vp = g.view_proj_from_camera(cam, W, H)
+    matrices = np.eye(4, dtype=np.float32)[None] @ vp
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        pos, attrs, tri_vidx, matrices.astype(np.float32), node_ids, W, H
+    )
+    rgba_1 = np.asarray(rgba_1)
+    covered = np.asarray(depth_1) < 1.0
+    assert covered.mean() > 0.2
+    # Exact ties really exist and submission order decides them: swapping
+    # the two quads' colors changes the single-device image.
+    attrs_swapped = attrs.copy()
+    attrs_swapped[0:6, 0:4] = [0, 1, 0, 1]
+    attrs_swapped[6:12, 0:4] = [1, 0, 0, 1]
+    rgba_sw, _ = raster_xla.render_frame_jit(
+        pos, attrs_swapped, tri_vidx, matrices.astype(np.float32), node_ids,
+        W, H,
+    )
+    assert not np.array_equal(rgba_1, np.asarray(rgba_sw))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(mesh, W, H, use_pallas=False)
+    args = shard_inputs(pos, attrs, tri_vidx, matrices.astype(np.float32),
+                        node_ids)
+    rgba_sh, depth_sh = frame_fn(*args)
+    np.testing.assert_array_equal(np.asarray(rgba_sh), rgba_1)
+    np.testing.assert_array_equal(
+        np.asarray(depth_sh).view(np.uint32), np.asarray(depth_1).view(np.uint32)
+    )

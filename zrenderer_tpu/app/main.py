@@ -39,7 +39,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="zrenderer-tpu")
     parser.add_argument(
         "--scene", default="content/scenes/test_scene",
-        help="folder containing scene.bin + meshes.bin",
+        help="folder containing scene.bin + meshes.bin, OR a .gltf/.glb "
+             "file to load directly (runtime glTF load)",
     )
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
@@ -64,8 +65,15 @@ def main(argv=None) -> int:
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
 
-    scene = Scene.load(os.path.join(args.scene, "scene.bin"))
-    mesh_data = MeshData.load(os.path.join(args.scene, "meshes.bin"))
+    if args.scene.endswith((".gltf", ".glb")):
+        # Runtime glTF load (the parseAndLoadGltfFile capability,
+        # common.zig:539-667) — no offline conversion step needed.
+        from zrenderer_tpu.scene.gltf_runtime import load_gltf
+
+        scene, mesh_data = load_gltf(args.scene)
+    else:
+        scene = Scene.load(os.path.join(args.scene, "scene.bin"))
+        mesh_data = MeshData.load(os.path.join(args.scene, "meshes.bin"))
 
     config = RenderConfig(
         width=args.width, height=args.height, backend=args.backend,
@@ -74,9 +82,24 @@ def main(argv=None) -> int:
     renderer = Renderer(config)
     renderer.load_scene(scene, mesh_data)
     if args.pipeline != "flat":
-        from zrenderer_tpu.engine.textures import Texture, checkerboard
+        from zrenderer_tpu.engine.textures import (
+            Texture, checkerboard, textures_from_mesh_data,
+        )
 
-        renderer.set_environment(texture=Texture.from_array(checkerboard(256)))
+        # Per-material textures from the scene's TEXS table when present
+        # (uris relative to the scene folder); checker fallback otherwise.
+        base_dir = (
+            os.path.dirname(args.scene)
+            if args.scene.endswith((".gltf", ".glb")) else args.scene
+        )
+        tex_list, mat_tex = textures_from_mesh_data(mesh_data, base_dir)
+        if tex_list is not None:
+            renderer.set_environment(textures=tex_list,
+                                     material_textures=mat_tex)
+        else:
+            renderer.set_environment(
+                texture=Texture.from_array(checkerboard(256))
+            )
 
     orbit_ctl = None
     if args.orbit:

@@ -52,10 +52,19 @@ class Texture:
 
     @classmethod
     def from_png(cls, path, num_levels: int | None = None):
-        """The createAndUploadTex2dFromFile analog (PNG instead of WIC)."""
+        """PNG-specific loader (see from_image_file for the general path)."""
         from zrenderer_tpu.utils.png import read_png
 
         return cls.from_array(read_png(path), num_levels)
+
+    @classmethod
+    def from_image_file(cls, path, num_levels: int | None = None):
+        """The createAndUploadTex2dFromFile analog (zd3d12.zig:1415-1548,
+        WIC-style format dispatch): decode any supported image format
+        (utils.image) and upload."""
+        from zrenderer_tpu.utils.image import read_image
+
+        return cls.from_array(read_image(path), num_levels)
 
 
 @dataclass
@@ -114,3 +123,36 @@ def checkerboard(size: int = 256, cells: int = 8,
 def white_texture() -> Texture:
     """1-texel white texture: the 'no texture bound' default."""
     return Texture.from_array(np.ones((1, 1, 4), np.float32), num_levels=1)
+
+
+def textures_from_mesh_data(mesh_data, base_dir):
+    """Load the meshes.bin TEXS table from disk (uris relative to the scene
+    folder) — the runtime half of per-material texture binding.  Returns
+    (textures, material_textures) for Renderer.set_environment, or
+    (None, None) when the scene carries no textures or loading fails
+    (missing file / mixed sizes); the caller then falls back to its default
+    texture."""
+    import logging
+    import os
+
+    log = logging.getLogger("zrenderer.textures")
+    uris = getattr(mesh_data, "texture_uris", None)
+    if not uris:
+        return None, None
+    textures = []
+    for uri in uris:
+        path = os.path.join(base_dir, uri)
+        try:
+            textures.append(Texture.from_image_file(path))
+        except (OSError, ValueError) as e:
+            log.warning("texture %s failed to load (%s); falling back", path, e)
+            return None, None
+    base = tuple(textures[0].base_shape)
+    if any(tuple(t.base_shape) != base for t in textures):
+        log.warning(
+            "scene textures have mixed sizes %s; texture arrays need "
+            "uniform layers — falling back",
+            [tuple(t.base_shape) for t in textures],
+        )
+        return None, None
+    return textures, list(mesh_data.material_texture)

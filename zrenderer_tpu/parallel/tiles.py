@@ -32,6 +32,33 @@ AXIS = "tiles"
 GEOM_AXIS = "geom"
 
 
+def canonical_order_perm(n_shards: int, shard_tris: int) -> "jnp.ndarray":
+    """Static permutation restoring the single-device triangle order after
+    a tiled all_gather of per-shard setup buffers.
+
+    Single-device canonical order is fan-slot-major over ALL input
+    triangles (slot j of every triangle, then slot j+1 — ops/geometry.py
+    clip_triangles); a gather of per-shard outputs is per-SHARD-major
+    (shard 0's slots, then shard 1's).  The two differ whenever clipping
+    populates fan slots >= 1, which changes depth-tie resolution across
+    shard boundaries.  The permutation depends only on static shapes, so
+    reordering is one constant-index gather — no sort, no collective.
+    canonical row (j, t) with t = s * shard_tris + i maps to gathered row
+    s * (FAN_SLOTS * shard_tris) + j * shard_tris + i.
+    """
+    import numpy as _np
+
+    total = n_shards * shard_tris
+    c = _np.arange(g.FAN_SLOTS * total)
+    j = c // total
+    r = c % total
+    s = r // shard_tris
+    i = r % shard_tris
+    return jnp.asarray(
+        s * (g.FAN_SLOTS * shard_tris) + j * shard_tris + i, jnp.int32
+    )
+
+
 def _band_raster_xla(tri_i32, tri_f32, width, band_h, row_offset):
     """Rasterize one horizontal band; row_offset is the band's first row."""
     half = g.SUBPIXEL // 2
@@ -96,12 +123,15 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
             width, height,
         )
         # One ICI collective: gather the (small) setup buffers. tiled=True
-        # concatenates along axis 0 in axis order.  Note the fan-slot-major
-        # triangle order becomes per-shard-major — identical images except
-        # for exact depth ties between triangles of different shards
+        # concatenates along axis 0 in axis order; the static canonical
+        # permutation then restores the exact single-device triangle order,
+        # so depth ties resolve identically to one chip
         # (docs/RASTER_SPEC.md §3).
         ti = jax.lax.all_gather(ti_local, AXIS, axis=0, tiled=True)
         tf = jax.lax.all_gather(tf_local, AXIS, axis=0, tiled=True)
+        perm = canonical_order_perm(n, tri_vidx_shard.shape[0])
+        ti = ti[perm]
+        tf = tf[perm]
 
         # Screen-tile parallel: rasterize this device's band. No collective.
         row0 = jax.lax.axis_index(AXIS) * band_h
@@ -169,9 +199,13 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
             jnp, positions, attrs, tri_vidx_shard, matrices, node_ids,
             width, height,
         )
-        # Gather over both axes, geom-major => global triangle order.
+        # Gather over both axes (geom-major shard order), then restore the
+        # canonical fan-slot-major order (exact single-device depth ties).
         ti = jax.lax.all_gather(ti_local, (GEOM_AXIS, AXIS), axis=0, tiled=True)
         tf = jax.lax.all_gather(tf_local, (GEOM_AXIS, AXIS), axis=0, tiled=True)
+        perm = canonical_order_perm(n_geom * n_tiles, tri_vidx_shard.shape[0])
+        ti = ti[perm]
+        tf = tf[perm]
 
         row0 = jax.lax.axis_index(AXIS) * band_h
         if use_pallas:

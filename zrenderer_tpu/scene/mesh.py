@@ -59,6 +59,13 @@ _MATL_TAG = b"MATL"
 # is stored as a parallel u32 table after the records.
 _MATERIAL_RECORD = struct.Struct("<4f f f 3f 64s")
 
+# Optional texture section (follows MATL): tag 'TEXS', u32 count, count x
+# 128-byte relative-uri strings, then a per-material i32 texture index
+# table (-1 = untextured).  Carries glTF baseColorTexture bindings so the
+# runtime can build the texture array (per-draw SRV analog).
+_TEXS_TAG = b"TEXS"
+_TEX_URI_LEN = 128
+
 
 @dataclass
 class Mesh:
@@ -144,6 +151,8 @@ class MeshData:
     meshes: list = field(default_factory=list)
     materials: list = field(default_factory=list)  # Material records
     mesh_material: list = field(default_factory=list)  # per-mesh index, -1=none
+    texture_uris: list = field(default_factory=list)  # relative image paths
+    material_texture: list = field(default_factory=list)  # per-material, -1=none
 
     def vertices_of(self, mesh: Mesh) -> np.ndarray:
         """Interleaved (num_vertices, 16) f32 view of one mesh's vertices."""
@@ -180,6 +189,18 @@ class MeshData:
                 len(self.meshes) - len(self.mesh_material)
             )
             out.write(np.asarray(mm, np.int32).tobytes())
+            if self.texture_uris:
+                out.write(_TEXS_TAG)
+                out.write(struct.pack("<I", len(self.texture_uris)))
+                for uri in self.texture_uris:
+                    out.write(
+                        uri.encode("utf-8")[: _TEX_URI_LEN - 1]
+                        .ljust(_TEX_URI_LEN, b"\x00")
+                    )
+                mt = list(self.material_texture) + [-1] * (
+                    len(self.materials) - len(self.material_texture)
+                )
+                out.write(np.asarray(mt, np.int32).tobytes())
         return out.getvalue()
 
     def save(self, path) -> None:
@@ -217,12 +238,30 @@ class MeshData:
             mesh_material = np.frombuffer(
                 data, np.int32, num_meshes, off
             ).tolist()
+            off += 4 * num_meshes
+        texture_uris: list = []
+        material_texture: list = []
+        if data[off : off + 4] == _TEXS_TAG:
+            off += 4
+            (tcount,) = struct.unpack_from("<I", data, off)
+            off += 4
+            for _ in range(tcount):
+                raw = data[off : off + _TEX_URI_LEN]
+                texture_uris.append(
+                    raw.split(b"\x00", 1)[0].decode("utf-8", errors="replace")
+                )
+                off += _TEX_URI_LEN
+            material_texture = np.frombuffer(
+                data, np.int32, len(materials), off
+            ).tolist()
         return cls(
             index_data=index_data,
             vertex_data=vertex_data,
             meshes=meshes,
             materials=materials,
             mesh_material=mesh_material,
+            texture_uris=texture_uris,
+            material_texture=material_texture,
         )
 
     @classmethod

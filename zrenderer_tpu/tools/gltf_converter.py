@@ -71,20 +71,67 @@ _COMPONENT_DTYPES = {
 _TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 
 
+GLB_MAGIC = 0x46546C67  # 'glTF'
+_GLB_CHUNK_JSON = 0x4E4F534A
+_GLB_CHUNK_BIN = 0x004E4942
+
+
+def _parse_glb(data: bytes):
+    """GLB container (glTF 2.0 binary): 12-byte header + chunks.  Returns
+    (json_doc, bin_chunk_or_None) — the cgltf GLB capability
+    (gltf_converter.zig:7-11 parses via cgltf, which handles .glb)."""
+    import struct as _struct
+
+    magic, version, length = _struct.unpack_from("<3I", data, 0)
+    if magic != GLB_MAGIC:
+        raise ValueError(f"bad GLB magic {magic:#x}")
+    if version != 2:
+        raise ValueError(f"unsupported GLB version {version}")
+    if length > len(data):
+        raise ValueError("GLB header length exceeds file size")
+    doc = None
+    bin_chunk = None
+    off = 12
+    while off + 8 <= length:
+        chunk_len, chunk_type = _struct.unpack_from("<2I", data, off)
+        off += 8
+        if off + chunk_len > length:
+            raise ValueError("GLB chunk overruns file")
+        chunk = data[off : off + chunk_len]
+        if chunk_type == _GLB_CHUNK_JSON:
+            doc = json.loads(chunk.decode("utf-8"))
+        elif chunk_type == _GLB_CHUNK_BIN and bin_chunk is None:
+            bin_chunk = chunk
+        off += chunk_len + ((-chunk_len) % 4)  # chunks are 4-byte aligned
+    if doc is None:
+        raise ValueError("GLB has no JSON chunk")
+    return doc, bin_chunk
+
+
 class Gltf:
-    """Minimal glTF 2.0 reader: JSON + external/data-URI buffers."""
+    """Minimal glTF 2.0 reader: JSON (+ GLB container), external / data-URI
+    / GLB-BIN buffers."""
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "r", encoding="utf-8") as f:
-            self.doc = json.load(f)
+        bin_chunk = None
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:4] == b"glTF":
+            self.doc, bin_chunk = _parse_glb(raw)
+        else:
+            self.doc = json.loads(raw.decode("utf-8"))
         self.buffers = []
         base_dir = os.path.dirname(os.path.abspath(path))
         for buf in self.doc.get("buffers", []):
             uri = buf.get("uri")
             if uri is None:
-                raise ValueError("GLB container buffers not supported yet")
-            if uri.startswith("data:"):
+                if bin_chunk is None:
+                    raise ValueError(
+                        "buffer without uri outside a GLB container"
+                    )
+                data = bin_chunk
+            elif uri.startswith("data:"):
                 payload = uri.split(",", 1)[1]
                 data = base64.b64decode(payload)
             else:
@@ -189,7 +236,29 @@ def _record_material(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> None:
                 name=gm.get("name", ""),
             )
         )
+        mesh_data.material_texture.append(
+            _record_texture(gltf, pbr.get("baseColorTexture"), mesh_data)
+        )
     mesh_data.mesh_material.append(mapping[mat_idx])
+
+
+def _record_texture(gltf: Gltf, tex_ref, mesh_data: MeshData) -> int:
+    """Resolve a glTF textureInfo to a uri slot in the TEXS table
+    (dedup by uri); -1 when absent or non-uri (GLB-embedded images are not
+    extracted — the runtime loads uris relative to the scene)."""
+    if tex_ref is None:
+        return -1
+    try:
+        tex = gltf.doc["textures"][tex_ref["index"]]
+        image = gltf.doc["images"][tex["source"]]
+        uri = image.get("uri")
+    except (KeyError, IndexError):
+        return -1
+    if not uri or uri.startswith("data:"):
+        return -1
+    if uri not in mesh_data.texture_uris:
+        mesh_data.texture_uris.append(uri)
+    return mesh_data.texture_uris.index(uri)
 
 
 def _camera_from_nodes(gltf: Gltf, parent: dict, child: dict) -> Camera:
@@ -320,7 +389,7 @@ def main(argv=None) -> int:
     if args.mesh_folder:
         mesh_data = MeshData()
         for entry in sorted(os.listdir(args.mesh_folder)):
-            if entry.endswith(".gltf"):
+            if entry.endswith((".gltf", ".glb")):
                 log.info("Converting %s", entry)
                 convert_gltf_meshes(
                     os.path.join(args.mesh_folder, entry), mesh_data,

@@ -50,6 +50,11 @@ def read_png(path) -> np.ndarray:
     """Read an 8-bit RGB/RGBA/gray PNG (filters 0-4 supported)."""
     with open(path, "rb") as f:
         data = f.read()
+    return decode_png(data)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode in-memory PNG bytes (the utils.image dispatch entry)."""
     assert data[:8] == _SIG, "not a PNG"
     pos = 8
     idat = b""
