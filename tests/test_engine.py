@@ -162,3 +162,46 @@ def test_debug_validation_mode():
             jnp.zeros((64, 96, 4), jnp.uint8),
             jnp.full((64, 96), jnp.nan, jnp.float32),
         )
+
+
+def test_upload_ring_allocates_and_exhausts():
+    """The per-frame staging heap (GpuMemoryHeap analog): bump allocation
+    with 512-B alignment, None on exhaustion, rotation resets."""
+    from zrenderer_tpu.engine.upload_ring import UploadRing
+
+    ring = UploadRing(frame_bytes=2048, frames=2)
+    a = ring.stage(np.arange(128, dtype=np.float32))  # 512 B
+    np.testing.assert_array_equal(a, np.arange(128, dtype=np.float32))
+    b = ring.stage(np.arange(256, dtype=np.float32))  # 1024 B at offset 512
+    assert b is not None
+    assert ring.stage(np.zeros(256, np.float32)) is None  # would exceed 2048
+    ring.begin_frame()  # rotate: fresh budget
+    assert ring.stage(np.zeros(256, np.float32)) is not None
+    # stage_all is atomic: partial overflow rolls back.
+    ring.begin_frame()
+    out = ring.stage_all([np.zeros(128, np.float32), np.zeros(512, np.float32)])
+    assert out is None
+    assert ring.stage(np.zeros(300, np.float32)) is not None  # space intact
+
+
+def test_upload_backpressure_stalls_and_recovers():
+    """Exhausting the per-frame constants budget stalls (finishGpuCommands
+    analog) and retries instead of crashing — zd3d12.zig:1240-1250."""
+    scene, mesh_data = make_test_scene()
+    # Budget fits ONE frame's matrices (2 draws x 64 B = 128 B of 512 budget);
+    # rendering twice without present() accumulates and trips back-pressure.
+    config = RenderConfig(width=96, height=64, backend="xla", tri_align=64,
+                          upload_heap_bytes=512)
+    r = Renderer(config)
+    r.load_scene(scene, mesh_data)
+    r.render()
+    r.render()  # same ring frame (no present): second stage exhausts
+    assert r.upload_ring.stall_count == 1
+    img, depth = r.render_and_read()
+    assert np.isfinite(depth).all()
+    # A budget too small for even one frame fails loudly.
+    r2 = Renderer(RenderConfig(width=96, height=64, backend="xla",
+                               tri_align=64, upload_heap_bytes=64))
+    r2.load_scene(scene, mesh_data)
+    with pytest.raises(MemoryError):
+        r2.render()

@@ -148,3 +148,67 @@ def test_pallas_hbm_gbuffer_matches_vmem_gbuffer():
     # Material constants landed per draw (two distinct tex layers on screen).
     tex_plane = vmem[12][vmem[1] < 1.0]
     assert set(np.unique(tex_plane)) == {1.0, 2.0}
+
+
+def test_binned_raster_matches_oracle():
+    """The per-tile-list (sort-by-tile) raster is bit-exact with the CPU
+    oracle on a dense soup with clipping and overlap — the id tie-break is
+    equivalent to sequential strict-less depth testing."""
+    from zrenderer_tpu.raster_ref.raster_cpu import rasterize_setup
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    W, H = 384, 128  # 3x4 tiles: the 2x2 bin window cannot cover the frame
+    scene, mesh_data = make_triangle_soup(
+        400, seed=3, extent=2.0, behind_camera_fraction=0.1
+    )
+    # Blow up a few triangles so they exceed the bin window (phase 2),
+    # and straddle a few across the near plane (clipped fan rows).
+    v = mesh_data.vertex_data.reshape(-1, 16)
+    for t in range(60, 80):
+        tri = v[3 * t : 3 * t + 3, 0:3]
+        c = tri.mean(axis=0)
+        v[3 * t : 3 * t + 3, 0:3] = c + (tri - c) * 10.0
+    for t in range(80, 100):
+        v[3 * t, 2] += 15.0  # one vertex behind the z=12 camera
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    # The workload must exercise BOTH phases: listed and hierarchy rows.
+    n_input = ti.shape[0] // g.FAN_SLOTS
+    head = ti[:n_input]
+    ntx = head[:, g.I_JMAX] // 128 - head[:, g.I_JMIN] // 128 + 1
+    nty = head[:, g.I_IMAX] // 32 - head[:, g.I_IMIN] // 32 + 1
+    valid = head[:, g.I_VALID] > 0
+    listed = valid & (ntx <= rp.BIN_WX) & (nty <= rp.BIN_WY)
+    assert listed.sum() > 50, "need listed triangles"
+    assert (valid & ~listed).sum() > 5, "need window-exceeding triangles"
+    assert (ti[n_input:, g.I_VALID] > 0).sum() > 0, "need clipped fan rows"
+
+    color, depth = rp.rasterize_setup_pallas_binned(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    img = np.asarray(rp.unpack_rgba8(color))
+
+    # Bit-exact vs the hierarchy Pallas kernel (identical arithmetic —
+    # this isolates the binning/tie logic; same-kernel contraction).
+    color_h, depth_h = rp.rasterize_setup_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(depth).view(np.uint32), np.asarray(depth_h).view(np.uint32)
+    )
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(color_h))
+
+    # And against the CPU oracle within the XLA:CPU fused-FMA tolerance
+    # (RASTER_SPEC §5; on real TPU the hardware subset asserts bit-equality).
+    rgba_cpu, depth_cpu = rasterize_setup(ti, tf, W, H)
+    img_cpu = np.floor(np.clip(rgba_cpu, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    assert (depth_cpu < 1).mean() > 0.3
+    np.testing.assert_allclose(np.asarray(depth), depth_cpu, atol=2e-6)
+    assert np.abs(img.astype(int) - img_cpu.astype(int)).max() <= 1

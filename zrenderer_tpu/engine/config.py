@@ -27,6 +27,10 @@ class RenderConfig:
     # BASELINE.json configs: "flat" (0), "lit" (1), "shadowed" (2),
     # "deferred" (3)
     pipeline: str = "flat"
+    # Raster binning: "hierarchy" (union-bbox skip, best for spatially
+    # ordered content) or "tile_lists" (per-tile sorted lists, ~17x faster
+    # on dense unordered scenes — ops/raster_pallas.py).
+    binning: str = "hierarchy"
     shadow_size: int = 1024
     # Shadow quality (config 2): constant + slope-scaled depth bias and the
     # PCF kernel radius ((2*taps+1)^2 taps).
@@ -42,6 +46,10 @@ class RenderConfig:
     vert_align: int = 128
     tri_align: int = 256
     lod: int = 0  # mesh LOD drawn (the reference hardcodes 0)
+    # Per-frame host-staging budget for traced constants (the 18 MB
+    # per-frame upload heap analog, zd3d12.zig:62-63); exhaustion stalls
+    # the device and retries (zd3d12.zig:1240-1250 semantics).
+    upload_heap_bytes: int = 18 * 2**20
     readback: bool = True  # device->host copy of each frame ("present")
 
     @property

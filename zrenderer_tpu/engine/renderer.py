@@ -45,6 +45,9 @@ class Renderer:
         self.pipelines = PipelineCache()
         self.resources = ResourcePool(name="device-array")
         self.stats = FrameStats()
+        from zrenderer_tpu.engine.upload_ring import UploadRing
+
+        self.upload_ring = UploadRing(self.config.upload_heap_bytes)
         self.flat: FlatScene | None = None
         self._device_buffers = {}
         self._pending = None  # last enqueued frame (async dispatch)
@@ -306,7 +309,7 @@ class Renderer:
                     positions, attrs, tri_vidx, matrices, node_ids,
                     cfg.width, cfg.height,
                     cfg.pad_height, cfg.pad_width,
-                    interpret=cfg.debug,
+                    interpret=cfg.debug, binning=cfg.binning,
                 )
                 return raster_pallas.unpack_rgba8(color), depth
 
@@ -380,12 +383,17 @@ class Renderer:
             pipeline = self.config.pipeline
             if pipeline == "flat":
                 matrices = self.camera_matrices(camera, transforms, jitter)
+                (matrices,) = self._stage_constants([matrices])
                 color, depth = frame(
                     b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
                     matrices,
                 )
             else:
                 c = self._lit_constants(camera, transforms)
+                staged = self._stage_constants(
+                    [c["matrices"], c["normal_mats"], c["inv_view_proj"]]
+                )
+                c["matrices"], c["normal_mats"], c["inv_view_proj"] = staged
                 if pipeline == "lit":
                     color, depth = frame(
                         b, self.texture.atlas_u32, c["matrices"],
@@ -439,6 +447,29 @@ class Renderer:
                 f"debug validation: depth outside [0,1] ({d.min()}, {d.max()})"
             )
 
+    def _stage_constants(self, arrays):
+        """Per-frame constants go through the bounded staging ring (the
+        upload-heap path).  Exhaustion -> stall the device, reset the
+        frame's heap, retry — the reference's graceful degradation
+        (zd3d12.zig:1240-1250)."""
+        staged = self.upload_ring.stage_all(arrays)
+        if staged is None:
+            self.upload_ring.stall_count += 1
+            log.warning(
+                "per-frame upload heap exhausted (%d bytes): stalling the "
+                "device and retrying", self.config.upload_heap_bytes,
+            )
+            self.finish_gpu_commands()
+            self.upload_ring.reset_frame()
+            staged = self.upload_ring.stage_all(arrays)
+            if staged is None:
+                raise MemoryError(
+                    "frame constants exceed the upload heap "
+                    f"({self.config.upload_heap_bytes} bytes); raise "
+                    "RenderConfig.upload_heap_bytes"
+                )
+        return staged
+
     def present(self):
         """Fence on the most recent frame (the Present + fence analog,
         zd3d12.zig:649-667).  The frame STAYS on device — the reference's
@@ -448,6 +479,8 @@ class Renderer:
         assert self._pending is not None, "render first"
         with ztracy.zone("present"):
             jax.block_until_ready(self._pending)
+            # endFrame: rotate the per-frame upload heap (zd3d12.zig:672-674).
+            self.upload_ring.begin_frame()
             return self._pending
 
     def read_frame(self):

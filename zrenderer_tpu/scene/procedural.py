@@ -211,13 +211,16 @@ def make_triangle_soup(
     seed: int = 0,
     extent: float = 4.0,
     behind_camera_fraction: float = 0.0,
+    triangle_size: float = 1.0,
 ) -> tuple:
-    """Random triangle soup scene for stress/parity tests and benchmarks."""
+    """Random triangle soup scene for stress/parity tests and benchmarks.
+    ``triangle_size`` scales each triangle around its center (1 unit is
+    ~108 px at the default camera; dense-overlap benchmarks use ~0.1)."""
     rng = np.random.default_rng(seed)
     n = num_triangles * 3
     verts = np.zeros((n, 16), np.float32)
     centers = rng.uniform(-extent, extent, size=(num_triangles, 1, 3))
-    offsets = rng.uniform(-1.0, 1.0, size=(num_triangles, 3, 3))
+    offsets = rng.uniform(-1.0, 1.0, size=(num_triangles, 3, 3)) * triangle_size
     pos = (centers + offsets).reshape(n, 3)
     if behind_camera_fraction > 0:
         k = int(num_triangles * behind_camera_fraction) * 3
