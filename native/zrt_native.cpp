@@ -19,6 +19,10 @@
 #include <unordered_map>
 #include <algorithm>
 #include <utility>
+#include <array>
+#include <cmath>
+#include <map>
+#include <queue>
 #include <zlib.h>
 
 extern "C" {
@@ -320,7 +324,184 @@ uint64_t zrt_encode_png(const uint8_t* rgba, uint32_t width, uint32_t height,
     return png.size();
 }
 
+// ---------------------------------------------------------------------------
+// Mesh simplification (LOD generation) — quadric-error edge collapse
+// ---------------------------------------------------------------------------
+// The meshoptimizer-simplification capability (linked but never called in
+// the reference, gltf_converter.zig:155 TODO; LOD slots exist in the mesh
+// format).  Original implementation: classic Garland–Heckbert quadrics with
+// half-edge collapses onto EXISTING vertices (no new positions, so the
+// simplified LODs share the vertex buffer — exactly what the format's
+// per-LOD index ranges need).  Border vertices are locked to preserve
+// silhouettes and open edges.
+
+namespace {
+
+struct Quadric {
+    // Symmetric 4x4: a*x^2 + ... stored as 10 coefficients.
+    double q[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+    void add_plane(double a, double b, double c, double d, double w) {
+        q[0] += w * a * a; q[1] += w * a * b; q[2] += w * a * c;
+        q[3] += w * a * d; q[4] += w * b * b; q[5] += w * b * c;
+        q[6] += w * b * d; q[7] += w * c * c; q[8] += w * c * d;
+        q[9] += w * d * d;
+    }
+    void add(const Quadric& o) { for (int i = 0; i < 10; i++) q[i] += o.q[i]; }
+    double eval(double x, double y, double z) const {
+        return q[0]*x*x + 2*q[1]*x*y + 2*q[2]*x*z + 2*q[3]*x
+             + q[4]*y*y + 2*q[5]*y*z + 2*q[6]*y
+             + q[7]*z*z + 2*q[8]*z + q[9];
+    }
+};
+
+struct Collapse {
+    double error;
+    uint32_t from, to;
+    uint32_t gen;  // staleness check against vertex generations
+    bool operator<(const Collapse& o) const { return error > o.error; }  // min-heap
+};
+
+}  // namespace
+
+// Simplify an indexed triangle list to <= target_index_count indices.
+// positions: xyz at the head of each stride_floats record.  Returns the new
+// index count (multiple of 3) written to out_indices; 0 on error.
+// max_error: relative to the mesh bounding-box diagonal (squared inside).
+uint32_t zrt_simplify(const uint32_t* indices, uint32_t n_idx,
+                      const float* positions, uint32_t n_verts,
+                      uint32_t stride_floats, uint32_t target_index_count,
+                      float max_error, uint32_t* out_indices) {
+    if (n_idx % 3 != 0 || stride_floats < 3) return 0;
+    const uint32_t n_tris = n_idx / 3;
+
+    auto px = [&](uint32_t v) { return (double)positions[v * stride_floats + 0]; };
+    auto py = [&](uint32_t v) { return (double)positions[v * stride_floats + 1]; };
+    auto pz = [&](uint32_t v) { return (double)positions[v * stride_floats + 2]; };
+
+    // Bounding-box diagonal for the relative error cutoff.
+    double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+    for (uint32_t v = 0; v < n_verts; v++) {
+        double p[3] = {px(v), py(v), pz(v)};
+        for (int k = 0; k < 3; k++) {
+            lo[k] = std::min(lo[k], p[k]);
+            hi[k] = std::max(hi[k], p[k]);
+        }
+    }
+    double diag2 = 0;
+    for (int k = 0; k < 3; k++) diag2 += (hi[k] - lo[k]) * (hi[k] - lo[k]);
+    const double error_limit = (double)max_error * (double)max_error * diag2;
+
+    // Per-vertex quadrics from incident triangle planes (area-weighted) and
+    // edge adjacency counts for border detection.
+    std::vector<Quadric> quad(n_verts);
+    std::map<std::pair<uint32_t, uint32_t>, int> edge_count;
+    std::vector<std::vector<uint32_t>> vtx_tris(n_verts);
+    std::vector<std::array<uint32_t, 3>> tris(n_tris);
+    std::vector<bool> tri_dead(n_tris, false);
+
+    for (uint32_t t = 0; t < n_tris; t++) {
+        uint32_t a = indices[3*t], b = indices[3*t+1], c = indices[3*t+2];
+        if (a >= n_verts || b >= n_verts || c >= n_verts) return 0;
+        tris[t] = {a, b, c};
+        double ux = px(b)-px(a), uy = py(b)-py(a), uz = pz(b)-pz(a);
+        double vx = px(c)-px(a), vy = py(c)-py(a), vz = pz(c)-pz(a);
+        double nx = uy*vz - uz*vy, ny = uz*vx - ux*vz, nz = ux*vy - uy*vx;
+        double len = std::sqrt(nx*nx + ny*ny + nz*nz);
+        double area = 0.5 * len;
+        if (len > 1e-30) { nx /= len; ny /= len; nz /= len; }
+        double d = -(nx*px(a) + ny*py(a) + nz*pz(a));
+        for (uint32_t v : {a, b, c}) {
+            quad[v].add_plane(nx, ny, nz, d, area);
+            vtx_tris[v].push_back(t);
+        }
+        auto edge = [&](uint32_t u, uint32_t w) {
+            if (u > w) std::swap(u, w);
+            edge_count[{u, w}]++;
+        };
+        edge(a, b); edge(b, c); edge(c, a);
+    }
+
+    std::vector<bool> border(n_verts, false);
+    for (auto& [e, cnt] : edge_count)
+        if (cnt == 1) { border[e.first] = true; border[e.second] = true; }
+
+    // Union-find style remap: vertex -> current representative.
+    std::vector<uint32_t> remap(n_verts);
+    for (uint32_t v = 0; v < n_verts; v++) remap[v] = v;
+    auto find = [&](uint32_t v) {
+        while (remap[v] != v) { remap[v] = remap[remap[v]]; v = remap[v]; }
+        return v;
+    };
+
+    std::vector<uint32_t> gen(n_verts, 0);
+    std::priority_queue<Collapse> heap;
+    auto push_candidates = [&](uint32_t v) {
+        v = find(v);
+        if (border[v]) return;  // locked: never collapse FROM a border vertex
+        for (uint32_t t : vtx_tris[v]) {
+            if (tri_dead[t]) continue;
+            for (uint32_t w0 : tris[t]) {
+                uint32_t w = find(w0);
+                if (w == v) continue;
+                Quadric q = quad[v];
+                q.add(quad[w]);
+                double err = q.eval(px(w), py(w), pz(w));
+                heap.push({err, v, w, gen[v] + gen[w]});
+            }
+        }
+    };
+    for (uint32_t v = 0; v < n_verts; v++) push_candidates(v);
+
+    uint32_t live_tris = n_tris;
+    const uint32_t target_tris = target_index_count / 3;
+
+    while (live_tris > target_tris && !heap.empty()) {
+        Collapse c = heap.top();
+        heap.pop();
+        uint32_t from = find(c.from), to = find(c.to);
+        if (from != c.from || to != c.to) continue;  // stale representative
+        if (c.gen != gen[from] + gen[to]) continue;  // stale error
+        if (from == to || border[from]) continue;
+        if (c.error > error_limit) break;  // error budget exhausted
+
+        // Collapse from -> to.
+        remap[from] = to;
+        quad[to].add(quad[from]);
+        gen[to]++;
+        // Merge triangle lists; kill degenerates.
+        for (uint32_t t : vtx_tris[from]) {
+            if (tri_dead[t]) continue;
+            uint32_t a = find(tris[t][0]), b = find(tris[t][1]),
+                     d = find(tris[t][2]);
+            if (a == b || b == d || d == a) {
+                tri_dead[t] = true;
+                live_tris--;
+            } else {
+                vtx_tris[to].push_back(t);
+            }
+        }
+        push_candidates(to);
+        // Neighbors' candidate errors changed: refresh them lazily.
+        for (uint32_t t : vtx_tris[to]) {
+            if (tri_dead[t]) continue;
+            for (uint32_t w : tris[t]) push_candidates(find(w));
+        }
+    }
+
+    uint32_t out = 0;
+    for (uint32_t t = 0; t < n_tris; t++) {
+        if (tri_dead[t]) continue;
+        uint32_t a = find(tris[t][0]), b = find(tris[t][1]), d = find(tris[t][2]);
+        if (a == b || b == d || d == a) continue;
+        out_indices[out++] = a;
+        out_indices[out++] = b;
+        out_indices[out++] = d;
+    }
+    return out;
+}
+
 // Library version/sanity probe.
-uint32_t zrt_version() { return 10; }
+uint32_t zrt_version() { return 11; }
 
 }  // extern "C"

@@ -205,3 +205,22 @@ def test_upload_backpressure_stalls_and_recovers():
     r2.load_scene(scene, mesh_data)
     with pytest.raises(MemoryError):
         r2.render()
+
+
+def test_resource_pool_is_load_bearing():
+    """The render data path resolves device buffers through generational
+    handles: destroying one makes the next render fail loudly, and
+    reloading a scene recycles pool slots."""
+    scene, mesh_data = make_test_scene()
+    r = Renderer(RenderConfig(width=96, height=64, backend="xla", tri_align=64))
+    r.load_scene(scene, mesh_data)
+    r.render_and_read()
+    n_before = len(r.resources)
+    # Reload: old buffers destroyed, slots recycled (no pool growth).
+    r.load_scene(scene, mesh_data)
+    r.render_and_read()
+    assert len(r.resources) == n_before
+    # Destroying a live handle is detected at render time.
+    r.resources.destroy(r._buffer_handles["positions"])
+    with pytest.raises(RuntimeError, match="stale resource handle"):
+        r.render()

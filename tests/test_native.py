@@ -185,3 +185,128 @@ def test_texture_from_image_file(tmp_path):
     p.write_bytes(b"P6\n8 8\n255\n" + rgb.tobytes())
     t = Texture.from_image_file(p)
     assert t.base_shape == (8, 8)
+
+
+def _sphere_mesh(n_lat=16, n_lon=24):
+    """Closed UV sphere (no borders): ideal simplification fodder."""
+    lat = np.linspace(0, np.pi, n_lat + 1)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts = [(0.0, 1.0, 0.0)]
+    for la in lat[1:-1]:
+        for lo in lon:
+            verts.append((np.sin(la) * np.cos(lo), np.cos(la),
+                          np.sin(la) * np.sin(lo)))
+    verts.append((0.0, -1.0, 0.0))
+    v = np.asarray(verts, np.float32)
+    idx = []
+    def ring(r):  # first vertex index of latitude ring r (0-based interior)
+        return 1 + r * n_lon
+    for j in range(n_lon):  # top cap
+        idx += [0, ring(0) + (j + 1) % n_lon, ring(0) + j]
+    for r in range(n_lat - 2):
+        for j in range(n_lon):
+            a = ring(r) + j
+            b = ring(r) + (j + 1) % n_lon
+            c = ring(r + 1) + j
+            d = ring(r + 1) + (j + 1) % n_lon
+            idx += [a, b, c, b, d, c]
+    bottom = len(v) - 1
+    for j in range(n_lon):  # bottom cap
+        idx += [bottom, ring(n_lat - 2) + j, ring(n_lat - 2) + (j + 1) % n_lon]
+    return v, np.asarray(idx, np.uint32)
+
+
+def test_simplify_reduces_with_bounded_error():
+    """QEM edge collapse: hits the target count, keeps vertices a subset of
+    the originals, and stays near the unit sphere surface."""
+    v, idx = _sphere_mesh()
+    n0 = len(idx)
+    out = native.simplify(idx, v, n0 // 4, max_error=0.2)
+    assert len(out) % 3 == 0
+    assert len(out) <= n0 // 2, (n0, len(out))  # big reduction happened
+    assert len(out) >= 3
+    assert out.max() < len(v)  # indices reference original vertices only
+    # No degenerate triangles.
+    t = out.reshape(-1, 3)
+    assert (t[:, 0] != t[:, 1]).all() and (t[:, 1] != t[:, 2]).all()
+    # Surviving surface stays near radius 1 (bounded error).
+    used = np.unique(t)
+    r = np.linalg.norm(v[used], axis=1)
+    assert abs(r - 1.0).max() < 0.05
+
+
+def test_simplify_locks_borders():
+    """A flat grid's boundary ring must survive simplification (border
+    vertices are locked, preserving the silhouette)."""
+    n = 8
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    v = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1).astype(np.float32)
+    idx = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            idx += [a, a + 1, a + n, a + 1, a + n + 1, a + n]
+    idx = np.asarray(idx, np.uint32)
+    out = native.simplify(idx, v, len(idx) // 4, max_error=0.5)
+    assert 3 <= len(out) < len(idx)
+    used = set(np.unique(out.reshape(-1, 3)).tolist())
+    corner_ids = {0, n - 1, n * (n - 1), n * n - 1}
+    assert corner_ids <= used, "grid corners must survive (border lock)"
+    # Interior flat region should collapse heavily.
+    assert len(out) <= len(idx) // 2
+
+
+def test_simplify_python_fallback_agrees_on_structure():
+    v, idx = _sphere_mesh(8, 12)
+    from zrenderer_tpu.utils.native import _simplify_py
+
+    out = _simplify_py(idx, v, len(idx) // 3, 0.3)
+    assert len(out) % 3 == 0 and 3 <= len(out) < len(idx)
+    t = out.reshape(-1, 3)
+    assert (t[:, 0] != t[:, 1]).all() and (t[:, 1] != t[:, 2]).all()
+
+
+def test_converter_lods_flag(tmp_path):
+    """--lods fills the mesh format's LOD slots; the renderer's lod config
+    then draws fewer triangles."""
+    import json as _json
+
+    from zrenderer_tpu.scene.mesh import MeshData as MD
+    from zrenderer_tpu.tools.gltf_converter import main as conv_main
+
+    v, idx = _sphere_mesh()
+    # Write the sphere as a one-mesh glTF.
+    import base64 as _b64
+    buf = v.astype(np.float32).tobytes() + idx.astype(np.uint32).tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "meshes": [{"name": "S", "primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(v),
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": len(idx),
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": v.nbytes},
+            {"buffer": 0, "byteOffset": v.nbytes, "byteLength": idx.nbytes},
+        ],
+        "buffers": [{"byteLength": len(buf),
+                     "uri": "data:application/octet-stream;base64,"
+                     + _b64.b64encode(buf).decode()}],
+    }
+    (tmp_path / "s.gltf").write_text(_json.dumps(doc))
+    rc = conv_main(["-i", str(tmp_path), "-o", str(tmp_path / "o"),
+                    "--lods", "3"])
+    assert rc == 0
+    md = MD.load(tmp_path / "o" / "meshes.bin")
+    m = md.meshes[0]
+    assert m.num_lods == 3
+    sizes = [m.lod_size(k) for k in range(3)]
+    assert sizes[0] == len(idx)
+    assert sizes[1] < sizes[0] and sizes[2] < sizes[1]
+    # Each LOD is a valid index range into the shared vertex block.
+    for k in range(3):
+        lod_idx = md.indices_of(m, lod=k)
+        assert lod_idx.max() < m.num_vertices

@@ -49,7 +49,7 @@ class Renderer:
 
         self.upload_ring = UploadRing(self.config.upload_heap_bytes)
         self.flat: FlatScene | None = None
-        self._device_buffers = {}
+        self._buffer_handles = {}  # name -> generational Handle
         self._pending = None  # last enqueued frame (async dispatch)
         log.info(
             "Renderer on %s (platform=%s, backend=%s)",
@@ -80,14 +80,19 @@ class Renderer:
                 apply_materials=self.config.pipeline != "flat",
             )
             f = self.flat
-            self._device_buffers = {
-                "positions": jax.device_put(f.positions, self.device),
-                "attrs": jax.device_put(f.attrs, self.device),
-                "tri_vidx": jax.device_put(f.tri_vidx, self.device),
-                "vert_node": jax.device_put(f.vert_node, self.device),
-            }
-            for name, buf in self._device_buffers.items():
-                self.resources.add((name, buf))
+            # Device buffers live in the generational resource pool; the
+            # data path goes through handle lookups (stale handles after a
+            # destroy are detected, zd3d12.zig:1752-1831 semantics), and
+            # reloading a scene destroys the previous buffers' slots.
+            for name in ("positions", "attrs", "tri_vidx", "vert_node",
+                         "materials"):
+                h = self._buffer_handles.pop(name, None)
+                if h is not None:
+                    self.resources.destroy(h)
+            self._set_buffer("positions", jax.device_put(f.positions, self.device))
+            self._set_buffer("attrs", jax.device_put(f.attrs, self.device))
+            self._set_buffer("tri_vidx", jax.device_put(f.tri_vidx, self.device))
+            self._set_buffer("vert_node", jax.device_put(f.vert_node, self.device))
             # Per-draw local AABB corners, cached once: the light frustum is
             # fitted from TRANSFORMED bounds (exact under node rotation and
             # scale) without per-frame host scans of all vertices.
@@ -199,9 +204,10 @@ class Renderer:
             table[d, 2:5] = m.emissive
             if tex_layer is not None and mi < len(tex_layer):
                 table[d, 5] = float(tex_layer[mi])
-        self._device_buffers["materials"] = jax.device_put(
-            table, self.device
-        )
+        old = self._buffer_handles.pop("materials", None)
+        if old is not None:
+            self.resources.destroy(old)
+        self._set_buffer("materials", jax.device_put(table, self.device))
 
     def _light_view_proj(self, node_to_world=None) -> np.ndarray:
         """Directional-light ortho view-proj fitted to the scene's world
@@ -379,7 +385,7 @@ class Renderer:
         assert self.flat is not None, "load_scene first"
         with ztracy.zone("render"):
             frame = self._frame_fn()
-            b = self._device_buffers
+            b = self._buffers()
             pipeline = self.config.pipeline
             if pipeline == "flat":
                 matrices = self.camera_matrices(camera, transforms, jitter)
@@ -446,6 +452,23 @@ class Renderer:
             raise FloatingPointError(
                 f"debug validation: depth outside [0,1] ({d.min()}, {d.max()})"
             )
+
+    def _set_buffer(self, name: str, array) -> None:
+        self._buffer_handles[name] = self.resources.add((name, array))
+
+    def _buffers(self) -> dict:
+        """Resolve the scene's device buffers through their pool handles —
+        the lookupResource data path.  A stale/destroyed handle fails
+        loudly instead of silently using freed data."""
+        out = {}
+        for name, h in self._buffer_handles.items():
+            payload = self.resources.lookup(h)
+            if payload is None:
+                raise RuntimeError(
+                    f"stale resource handle for {name!r} (destroyed?)"
+                )
+            out[name] = payload[1]
+        return out
 
     def _stage_constants(self, arrays):
         """Per-frame constants go through the bounded staging ring (the

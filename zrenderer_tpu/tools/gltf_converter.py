@@ -163,14 +163,16 @@ class Gltf:
 
 
 def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
-                       optimize: bool = False) -> int:
+                       optimize: bool = False, lods: int = 1) -> int:
     """Interleave one glTF primitive into MeshData; returns the mesh index.
 
     Mirrors extractGLTFPrimitive + extractVertexData + extractIndexData
     (gltf_converter.zig:173-204, :69-115, :32-67).  ``optimize`` runs the
     native mesh-optimization pass (vertex dedup + vertex-cache + spatial
     triangle ordering — the meshoptimizer role, which the reference links
-    but never calls, gltf_converter.zig:155).
+    but never calls, gltf_converter.zig:155).  ``lods`` > 1 fills the mesh
+    format's LOD slots with simplified index ranges (QEM edge collapse,
+    each level targeting half the previous index count).
     """
     attrs = primitive["attributes"]
     num_vertices = gltf.doc["accessors"][next(iter(attrs.values()))]["count"]
@@ -207,7 +209,26 @@ def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
         verts, indices = native.apply_remap(verts, remap, unique, indices)
         indices = native.optimize_vertex_cache(indices, unique)
         indices = native.spatial_sort_triangles(indices, verts)
-    return mesh_data.append_mesh(verts, indices)
+    if lods <= 1:
+        return mesh_data.append_mesh(verts, indices)
+
+    # LOD chain: each level simplifies the previous to half its indices
+    # (quadric edge collapse onto existing vertices — all LODs share the
+    # vertex block, matching the format's per-LOD index ranges).
+    from zrenderer_tpu.utils import native
+
+    chains = [indices]
+    for _level in range(1, lods):
+        prev = chains[-1]
+        target = max(3, (len(prev) // 2) // 3 * 3)
+        simplified = native.simplify(prev, verts, target)
+        if len(simplified) == 0 or len(simplified) >= len(prev):
+            break  # cannot simplify further (all borders / tiny mesh)
+        chains.append(simplified)
+    all_idx = np.concatenate(chains)
+    return mesh_data.append_mesh(
+        verts, all_idx, lod_index_counts=[len(c) for c in chains]
+    )
 
 
 def _record_material(gltf: Gltf, primitive: dict, mesh_data: MeshData) -> None:
@@ -291,7 +312,8 @@ def _camera_from_nodes(gltf: Gltf, parent: dict, child: dict) -> Camera:
     return cam
 
 
-def convert_gltf_scene(gltf_path: str, optimize: bool = False) -> tuple:
+def convert_gltf_scene(gltf_path: str, optimize: bool = False,
+                       lods: int = 1) -> tuple:
     """Scene mode: one glTF file -> (Scene, MeshData).
 
     Mirrors convertGLTFScene (gltf_converter.zig:225-421).
@@ -330,7 +352,8 @@ def convert_gltf_scene(gltf_path: str, optimize: bool = False) -> tuple:
             node.mesh_indices = list(mesh_dedup[mesh_name])
         else:
             indices = [
-                _extract_primitive(gltf, prim, mesh_data, optimize=optimize)
+                _extract_primitive(gltf, prim, mesh_data, optimize=optimize,
+                                   lods=lods)
                 for prim in gmesh["primitives"]
             ]
             mesh_dedup[mesh_name] = indices
@@ -358,13 +381,14 @@ def convert_gltf_scene(gltf_path: str, optimize: bool = False) -> tuple:
 
 
 def convert_gltf_meshes(gltf_path: str, mesh_data: MeshData,
-                        optimize: bool = False) -> None:
+                        optimize: bool = False, lods: int = 1) -> None:
     """Mesh-folder mode: append every primitive of every mesh
     (convertGLTF, gltf_converter.zig:117-171)."""
     gltf = Gltf(gltf_path)
     for gmesh in gltf.doc.get("meshes", []):
         for prim in gmesh["primitives"]:
-            _extract_primitive(gltf, prim, mesh_data, optimize=optimize)
+            _extract_primitive(gltf, prim, mesh_data, optimize=optimize,
+                               lods=lods)
 
 
 def main(argv=None) -> int:
@@ -381,7 +405,13 @@ def main(argv=None) -> int:
         help="native mesh optimization: vertex dedup + vertex-cache + "
              "spatial triangle ordering",
     )
+    parser.add_argument(
+        "--lods", type=int, default=1, metavar="N",
+        help="generate N LOD levels per mesh (QEM simplification, each "
+             "level half the previous index count; max 7)",
+    )
     args = parser.parse_args(argv)
+    assert 1 <= args.lods <= 7, "--lods must be 1..7 (format has 8 slots)"
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
     os.makedirs(args.output, exist_ok=True)
@@ -393,12 +423,14 @@ def main(argv=None) -> int:
                 log.info("Converting %s", entry)
                 convert_gltf_meshes(
                     os.path.join(args.mesh_folder, entry), mesh_data,
-                    optimize=args.optimize,
+                    optimize=args.optimize, lods=args.lods,
                 )
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
     else:
         log.info("Converting scene %s...", args.scene_file)
-        scene, mesh_data = convert_gltf_scene(args.scene_file, optimize=args.optimize)
+        scene, mesh_data = convert_gltf_scene(
+            args.scene_file, optimize=args.optimize, lods=args.lods
+        )
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
         scene.save(os.path.join(args.output, "scene.bin"))
     log.info("Wrote output to %s", args.output)

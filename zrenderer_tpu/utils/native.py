@@ -87,6 +87,12 @@ def load(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
     ]
+    lib.zrt_simplify.restype = ctypes.c_uint32
+    lib.zrt_simplify.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_float, ctypes.POINTER(ctypes.c_uint32),
+    ]
     lib.zrt_encode_png.restype = ctypes.c_uint64
     lib.zrt_encode_png.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
@@ -232,6 +238,133 @@ def spatial_sort_triangles(indices: np.ndarray, vertices: np.ndarray) -> np.ndar
         _u32p(indices), len(indices), _f32p(vertices), vertices.shape[1]
     )
     return indices
+
+
+def simplify(indices: np.ndarray, vertices: np.ndarray,
+             target_index_count: int, max_error: float = 0.05) -> np.ndarray:
+    """Quadric-error edge-collapse simplification (the meshoptimizer
+    simplify capability — LOD generation for the mesh format's LOD slots).
+    Collapses onto existing vertices only, so LOD index ranges share one
+    vertex buffer; border vertices are locked.  ``max_error`` is relative
+    to the bounding-box diagonal.  Python fallback implements the same
+    algorithm (slower; fine for offline conversion of small meshes)."""
+    indices = np.ascontiguousarray(indices, np.uint32)
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    n, k = vertices.shape
+    lib = load()
+    if lib is not None:
+        out = np.empty(len(indices), np.uint32)
+        count = lib.zrt_simplify(
+            _u32p(indices), len(indices), _f32p(vertices), n, k,
+            int(target_index_count), float(max_error), _u32p(out),
+        )
+        return out[:count].copy()
+    return _simplify_py(indices, vertices, target_index_count, max_error)
+
+
+def _simplify_py(indices, vertices, target_index_count, max_error):
+    """Pure-Python QEM edge collapse (same semantics as zrt_simplify)."""
+    import heapq
+
+    pos = vertices[:, :3].astype(np.float64)
+    tris = indices.reshape(-1, 3).astype(np.int64).tolist()
+    nv = len(pos)
+    diag2 = float(((pos.max(0) - pos.min(0)) ** 2).sum())
+    limit = max_error * max_error * diag2
+
+    quad = [np.zeros((4, 4)) for _ in range(nv)]
+    edge_count: dict = {}
+    vtx_tris = [[] for _ in range(nv)]
+    tri_dead = [False] * len(tris)
+    for t, (a, b, c) in enumerate(tris):
+        n = np.cross(pos[b] - pos[a], pos[c] - pos[a])
+        ln = np.linalg.norm(n)
+        area = 0.5 * ln
+        if ln > 1e-30:
+            n = n / ln
+        d = -np.dot(n, pos[a])
+        p = np.append(n, d)
+        q = area * np.outer(p, p)
+        for v in (a, b, c):
+            quad[v] += q
+            vtx_tris[v].append(t)
+        for e in ((a, b), (b, c), (c, a)):
+            e = (min(e), max(e))
+            edge_count[e] = edge_count.get(e, 0) + 1
+    border = [False] * nv
+    for (u, w), cnt in edge_count.items():
+        if cnt == 1:
+            border[u] = border[w] = True
+
+    remap = list(range(nv))
+
+    def find(v):
+        while remap[v] != v:
+            remap[v] = remap[remap[v]]
+            v = remap[v]
+        return v
+
+    gen = [0] * nv
+    heap: list = []
+
+    def err_of(v, w):
+        q = quad[v] + quad[w]
+        h = np.append(pos[w], 1.0)
+        return float(h @ q @ h)
+
+    def push(v):
+        v = find(v)
+        if border[v]:
+            return
+        for t in vtx_tris[v]:
+            if tri_dead[t]:
+                continue
+            for w0 in tris[t]:
+                w = find(w0)
+                if w != v:
+                    heapq.heappush(
+                        heap, (err_of(v, w), v, w, gen[v] + gen[w])
+                    )
+
+    for v in range(nv):
+        push(v)
+
+    live = len(tris)
+    target = target_index_count // 3
+    while live > target and heap:
+        e, frm, to, g_ = heapq.heappop(heap)
+        if find(frm) != frm or find(to) != to or frm == to:
+            continue
+        if g_ != gen[frm] + gen[to] or border[frm]:
+            continue
+        if e > limit:
+            break
+        remap[frm] = to
+        quad[to] = quad[to] + quad[frm]
+        gen[to] += 1
+        for t in vtx_tris[frm]:
+            if tri_dead[t]:
+                continue
+            a, b, c = (find(x) for x in tris[t])
+            if a == b or b == c or c == a:
+                tri_dead[t] = True
+                live -= 1
+            else:
+                vtx_tris[to].append(t)
+        push(to)
+        for t in vtx_tris[to]:
+            if not tri_dead[t]:
+                for w in tris[t]:
+                    push(find(w))
+
+    out = []
+    for t, dead in enumerate(tri_dead):
+        if dead:
+            continue
+        a, b, c = (find(x) for x in tris[t])
+        if a != b and b != c and c != a:
+            out += [a, b, c]
+    return np.asarray(out, np.uint32)
 
 
 def encode_png(rgba: np.ndarray) -> bytes:
