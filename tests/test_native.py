@@ -310,3 +310,82 @@ def test_converter_lods_flag(tmp_path):
     for k in range(3):
         lod_idx = md.indices_of(m, lod=k)
         assert lod_idx.max() < m.num_vertices
+
+
+def test_jpeg_baseline_decoder(tmp_path):
+    """From-scratch baseline JPEG decode vs PIL's decode of the same files
+    (PIL is used ONLY as a test fixture encoder)."""
+    from PIL import Image
+
+    from zrenderer_tpu.utils.image import read_image
+
+    rng = np.random.default_rng(0)
+    # Smooth gradient + soft blobs: JPEG-friendly content.
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = np.stack([
+        (xx * 3) % 256, (yy * 2 + 40) % 256, ((xx + yy) * 2) % 256
+    ], axis=-1).astype(np.uint8)
+
+    for subsampling, tol in ((0, 3), (1, 6), (2, 8)):  # 4:4:4, 4:2:2, 4:2:0
+        p = tmp_path / f"t{subsampling}.jpg"
+        Image.fromarray(img).save(p, quality=92, subsampling=subsampling)
+        ours = read_image(p)
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        diff = np.abs(ours[..., :3].astype(int) - ref.astype(int))
+        # Identical Huffman/dequant stream; IDCT + chroma upsampling
+        # (nearest vs PIL's fancy filter) account for small differences.
+        assert diff.mean() < tol, (subsampling, diff.mean(), diff.max())
+        assert ours.shape == (64, 80, 4) and ours[..., 3].min() == 255
+
+    # Grayscale (no chroma path).
+    p = tmp_path / "gray.jpg"
+    Image.fromarray(img[..., 0], mode="L").save(p, quality=95)
+    ours = read_image(p)
+    ref = np.asarray(Image.open(p).convert("L"))
+    assert np.abs(ours[..., 0].astype(int) - ref.astype(int)).mean() < 2
+
+    # Restart markers.
+    p = tmp_path / "rst.jpg"
+    Image.fromarray(img).save(p, quality=90, subsampling=0, restart_marker_blocks=2)
+    ours = read_image(p)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    assert np.abs(ours[..., :3].astype(int) - ref.astype(int)).mean() < 3
+
+    # Progressive JPEG is rejected with a clear error.
+    p = tmp_path / "prog.jpg"
+    Image.fromarray(img).save(p, quality=90, progressive=True)
+    with pytest.raises(ValueError, match="SOF2"):
+        read_image(p)
+
+
+def test_png_breadth_interlaced_palette_16bit(tmp_path):
+    """PNG decoder breadth: Adam7 interlace, palette (+tRNS), 16-bit, and
+    4-bit grayscale all decode (PIL as the fixture encoder only)."""
+    from PIL import Image
+
+    from zrenderer_tpu.utils.png import read_png
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (33, 29, 3), np.uint8)  # odd sizes
+
+    p = tmp_path / "i.png"
+    Image.fromarray(rgb).save(p, interlace=True)
+    np.testing.assert_array_equal(read_png(p), rgb)
+
+    p = tmp_path / "pal.png"
+    Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE).save(p)
+    ours = read_png(p)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(ours[..., :3], ref)
+
+    p = tmp_path / "g16.png"
+    g16 = rng.integers(0, 65536, (20, 17), np.uint16)
+    Image.fromarray(g16, mode="I;16").save(p)
+    ours = read_png(p)
+    np.testing.assert_array_equal(ours[..., 0], (g16 >> 8).astype(np.uint8))
+
+    p = tmp_path / "g4.png"
+    g = (rng.integers(0, 16, (12, 11), np.uint8) * 17).astype(np.uint8)
+    Image.fromarray(g, mode="L").save(p, bits=4)
+    ours = read_png(p)
+    np.testing.assert_array_equal(ours[..., 0], g)

@@ -7,6 +7,8 @@ host-side equivalent: ``read_image`` sniffs the container and decodes to an
 imaging dependency):
 
 * PNG   — utils/png.py (filters 0-4, 8-bit, via the native zlib path)
+* JPEG  — utils/jpeg.py (baseline sequential DCT, 4:4:4/4:2:2/4:2:0,
+          restart markers; vectorized batch IDCT)
 * BMP   — uncompressed BI_RGB 24/32-bit, bottom-up and top-down
 * TGA   — type 2/10 (uncompressed / RLE true-color), 24/32-bit
 * PNM   — P5 (grayscale) / P6 (RGB), maxval 255
@@ -28,6 +30,10 @@ def read_image(path) -> np.ndarray:
         from zrenderer_tpu.utils.png import decode_png
 
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from zrenderer_tpu.utils.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
