@@ -224,3 +224,47 @@ def test_resource_pool_is_load_bearing():
     r.resources.destroy(r._buffer_handles["positions"])
     with pytest.raises(RuntimeError, match="stale resource handle"):
         r.render()
+
+
+def test_compute_pipeline_create_dispatch_destroy():
+    """createComputeShaderPipeline / Dispatch / destroyPipeline analogs:
+    arbitrary device programs run through the pooled pipeline handles (here:
+    the mipmap-generation compute pass, the reference's own compute demo)."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops.mipmap import generate_mip_chain
+
+    r = Renderer(RenderConfig(width=96, height=64, backend="xla"))
+    h = r.create_compute_pipeline(
+        lambda img: generate_mip_chain(img, 3), static_argnums=()
+    )
+    img = jnp.ones((16, 16, 4), jnp.float32) * 0.5
+    chain = r.dispatch(h, img)
+    assert len(chain) == 3 and chain[1].shape == (8, 8, 4)
+    np.testing.assert_allclose(np.asarray(chain[2]), 0.5)
+    r.destroy_pipeline(h)
+    with pytest.raises(RuntimeError, match="stale"):
+        r.dispatch(h, img)
+
+
+def test_custom_vertex_shader():
+    """The programmable vertex-stage capability: a custom VS (object-space
+    displacement) changes the image; unbinding restores it."""
+    import jax.numpy as jnp
+
+    scene, mesh_data = make_test_scene()
+    r = Renderer(RenderConfig(width=96, height=64, backend="xla", tri_align=64))
+    r.load_scene(scene, mesh_data)
+    base, _ = r.render_and_read()
+
+    def wobble(positions, attrs):
+        offs = 0.35 * jnp.sin(positions[:, 1:2] * 9.0)
+        positions = positions.at[:, 0:1].add(offs)
+        return positions, attrs
+
+    r.set_vertex_shader(wobble, name="wobble-v1")
+    warped, _ = r.render_and_read()
+    assert (warped != base).any()
+    r.set_vertex_shader(None)
+    again, _ = r.render_and_read()
+    np.testing.assert_array_equal(again, base)

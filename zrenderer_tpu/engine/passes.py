@@ -24,7 +24,7 @@ from zrenderer_tpu.ops import raster_pallas, raster_xla, sampling, shading
 
 
 def _gbuffer(backend, b, matrices, normal_mats, width, height,
-             pad_height, pad_width, interpret):
+             pad_height, pad_width, interpret, vertex_shader=None):
     """Returns (rgba, depth, u, v, nx, ny, nz, met, rgh, em r/g/b, tex) —
     per-pixel uv/normal interpolants plus the winning draw's material
     constants and texture layer (the per-draw SRV/material binding analog,
@@ -36,12 +36,13 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
             b["positions"], b["attrs"], b["tri_vidx"], matrices,
             b["vert_node"], normal_mats, width, height,
             pad_height, pad_width, interpret=interpret, material_table=mat,
+            vertex_shader=vertex_shader,
         )
         return [raster_pallas.unpack_rgba8(outs[0])] + list(outs[1:])
     ti, tf = g.geometry_pipeline(
         jnp, b["positions"], b["attrs"], b["tri_vidx"], matrices,
         b["vert_node"], width, height, normal_matrices=normal_mats,
-        material_table=mat,
+        material_table=mat, vertex_shader=vertex_shader,
     )
     return list(raster_xla.rasterize_gbuffer_xla(ti, tf, width, height))
 
@@ -76,7 +77,7 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
 
 
 def build_lit_frame(backend, width, height, pad_height, pad_width,
-                    texture, interpret=False):
+                    texture, interpret=False, vertex_shader=None):
     """Config 1: textured + Blinn-Phong point light, Z-buffered.
 
     Materials modulate the Blinn-Phong knobs per pixel (roughness ->
@@ -93,7 +94,7 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret,
+            pad_height, pad_width, interpret, vertex_shader,
         )
         covered = depth < 1.0
         albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
@@ -114,7 +115,7 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
 def build_shadowed_frame(backend, width, height, pad_height, pad_width,
                          texture, shadow_size=1024, interpret=False,
                          shadow_bias=2e-3, shadow_slope_bias=3e-3,
-                         pcf_taps=1):
+                         pcf_taps=1, vertex_shader=None):
     """Config 2: directional light shadow map (depth-only pass + PCF)."""
 
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
@@ -131,7 +132,7 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret,
+            pad_height, pad_width, interpret, vertex_shader,
         )
         covered = depth < 1.0
         albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
@@ -160,7 +161,7 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
 
 
 def build_deferred_frame(backend, width, height, pad_height, pad_width,
-                         interpret=False):
+                         interpret=False, vertex_shader=None):
     """Config 3: deferred G-buffer + GGX lighting with many point lights.
 
     Per-draw materials drive the BRDF per pixel: metallic/roughness planes
@@ -175,7 +176,7 @@ def build_deferred_frame(backend, width, height, pad_height, pad_width,
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret,
+            pad_height, pad_width, interpret, vertex_shader,
         )
         covered = depth < 1.0
         albedo = rgba[..., :3].astype(jnp.float32) / 255.0

@@ -101,5 +101,21 @@ class PipelineCache:
         self._cache[key] = self._pool.add(payload)
         return payload
 
+    # Handle-level API (the PipelinePool surface, zd3d12.zig:1833-1970):
+    # addPipeline / lookupPipeline / destroyPipeline for pipelines managed
+    # directly by handle rather than by content key.
+
+    def add_pipeline(self, payload: Any) -> Handle:
+        return self._pool.add(payload)
+
+    def lookup_pipeline(self, h: Handle) -> Optional[Any]:
+        return self._pool.lookup(h)
+
+    def destroy_pipeline(self, h: Handle) -> None:
+        self._pool.destroy(h)
+        for key, cached in list(self._cache.items()):
+            if cached == h:
+                del self._cache[key]
+
     def __len__(self) -> int:
         return len(self._cache)

@@ -50,6 +50,8 @@ class Renderer:
         self.upload_ring = UploadRing(self.config.upload_heap_bytes)
         self.flat: FlatScene | None = None
         self._buffer_handles = {}  # name -> generational Handle
+        self._vertex_shader = None
+        self._vertex_shader_key = None
         self._pending = None  # last enqueued frame (async dispatch)
         log.info(
             "Renderer on %s (platform=%s, backend=%s)",
@@ -207,7 +209,13 @@ class Renderer:
         old = self._buffer_handles.pop("materials", None)
         if old is not None:
             self.resources.destroy(old)
-        self._set_buffer("materials", jax.device_put(table, self.device))
+        # Expand draw->material to per-TRIANGLE rows once at load (host):
+        # the device-side gather would hit the tiny-table-gather pathology
+        # and the mapping is static per scene anyway.
+        tri_draw = self.flat.vert_node[self.flat.tri_vidx[:, 0]]
+        self._set_buffer(
+            "materials", jax.device_put(table[tri_draw], self.device)
+        )
 
     def _light_view_proj(self, node_to_world=None) -> np.ndarray:
         """Directional-light ortho view-proj fitted to the scene's world
@@ -256,6 +264,7 @@ class Renderer:
             len(self.flat.tri_vidx),
             self.flat.draw_count,
             tex_key,
+            self._vertex_shader_key,
         )
 
         def build_raw():
@@ -267,9 +276,11 @@ class Renderer:
                 self.set_environment()
             args = (self.backend, cfg.width, cfg.height, cfg.pad_height,
                     cfg.pad_width)
+            vs = self._vertex_shader
             if cfg.pipeline == "lit":
                 return passes.build_lit_frame(*args, self.texture,
-                                              interpret=cfg.debug)
+                                              interpret=cfg.debug,
+                                              vertex_shader=vs)
             if cfg.pipeline == "shadowed":
                 return passes.build_shadowed_frame(
                     *args, self.texture, shadow_size=cfg.shadow_size,
@@ -277,9 +288,11 @@ class Renderer:
                     shadow_bias=cfg.shadow_bias,
                     shadow_slope_bias=cfg.shadow_slope_bias,
                     pcf_taps=cfg.pcf_taps,
+                    vertex_shader=vs,
                 )
             if cfg.pipeline == "deferred":
-                return passes.build_deferred_frame(*args, interpret=cfg.debug)
+                return passes.build_deferred_frame(*args, interpret=cfg.debug,
+                                                   vertex_shader=vs)
             raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
 
         def build():
@@ -316,6 +329,7 @@ class Renderer:
                     cfg.width, cfg.height,
                     cfg.pad_height, cfg.pad_width,
                     interpret=cfg.debug, binning=cfg.binning,
+                    vertex_shader=self._vertex_shader,
                 )
                 return raster_pallas.unpack_rgba8(color), depth
 
@@ -325,6 +339,7 @@ class Renderer:
                 return raster_xla.render_frame_xla(
                     positions, attrs, tri_vidx, matrices, node_ids,
                     cfg.width, cfg.height,
+                    vertex_shader=self._vertex_shader,
                 )
 
         return frame
@@ -518,6 +533,42 @@ class Renderer:
     def render_and_read(self, camera=None, transforms=None):
         self.render(camera, transforms)
         return self.read_frame()
+
+    def set_vertex_shader(self, fn, name: str | None = None) -> None:
+        """Bind a custom vertex stage — the arbitrary-VS PSO capability
+        (zd3d12.zig:904-1046 compiles any vertex shader into a pipeline;
+        uber.hlsl is just the demo's instance).  ``fn(positions (N, 4),
+        attrs (N, 12)) -> (positions, attrs)`` runs in OBJECT space on
+        device inside the jitted frame.  ``name`` keys the pipeline cache
+        (defaults to the function identity — pass a stable name to reuse
+        compilations across renderers)."""
+        self._vertex_shader = fn
+        self._vertex_shader_key = (
+            None if fn is None else (name or f"vs-{id(fn)}")
+        )
+
+    # -- compute pipelines ----------------------------------------------------
+
+    def create_compute_pipeline(self, fn, static_argnums=()):
+        """createComputeShaderPipeline analog (zd3d12.zig:1147-1205): compile
+        an arbitrary device function into the pipeline pool and return its
+        generational handle.  The "shader" is any jittable function; the
+        grid/dispatch structure lives inside it (Pallas or plain XLA)."""
+        jitted = jax.jit(fn, static_argnums=static_argnums)
+        return self.pipelines.add_pipeline(jitted)
+
+    def dispatch(self, handle, *args, **kwargs):
+        """setCurrentPipeline + Dispatch analog (zd3d12.zig:1207-1227 +
+        compute dispatch): run a pooled compute pipeline.  Stale handles
+        fail loudly, like lookupPipeline returning null."""
+        fn = self.pipelines.lookup_pipeline(handle)
+        if fn is None:
+            raise RuntimeError("dispatch on a stale/destroyed pipeline handle")
+        with ztracy.zone("dispatch"):
+            return fn(*args, **kwargs)
+
+    def destroy_pipeline(self, handle) -> None:
+        self.pipelines.destroy_pipeline(handle)
 
     def finish_gpu_commands(self) -> None:
         """Drain the device (finishGpuCommands analog, zd3d12.zig:784-794)."""

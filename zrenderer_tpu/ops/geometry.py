@@ -408,7 +408,7 @@ def setup_triangles(xp, tris, valid, width: int, height: int,
 
 def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
                       width: int, height: int, normal_matrices=None,
-                      material_table=None):
+                      material_table=None, vertex_shader=None):
     """Full shared geometry stage: transform, assemble, clip, setup.
 
     ``normal_matrices`` (optional, (M, 3, 3)): per-draw inverse-transpose
@@ -417,8 +417,16 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     constants (metallic, roughness, emissive rgb, texture layer) — each
     triangle carries its draw's row (via vertex 0's node id, constant across
     the triangle by construction), fan-expanded with the clip stage.
+    ``vertex_shader`` (optional): a jit-traceable
+    ``fn(positions (N,4), attrs (N,12)) -> (positions, attrs)`` applied in
+    OBJECT space before the object->clip transform — the programmable
+    vertex-stage capability (the reference's platform compiles arbitrary
+    vertex shaders into PSOs, zd3d12.zig:904-1046; the demo's uber.hlsl is
+    one instance).  Runs on device inside the jitted frame.
     Returns (tri_i32, tri_f32) of static shape (FAN_SLOTS * T, ...).
     """
+    if vertex_shader is not None:
+        positions, attrs = vertex_shader(positions, attrs)
     clip_pos = transform_positions(xp, positions, matrices, node_ids)
     if normal_matrices is not None:
         attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
@@ -426,8 +434,15 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     fan, fan_valid = clip_triangles(xp, tris, width, height)
     const_cols = None
     if material_table is not None:
-        tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
-        per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
+        if material_table.shape[0] == tri_vidx.shape[0]:
+            # Pre-expanded per-triangle rows (the engine precomputes these
+            # at load: per-pixel-scale gathers from tiny tables are
+            # pathologically slow on TPU, and the draw->material mapping is
+            # static per scene).
+            per_tri = material_table
+        else:
+            tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
+            per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
         # Fan slots are slot-major: slot j of every input triangle first.
         const_cols = xp.tile(per_tri, (FAN_SLOTS, 1))
     return setup_triangles(xp, fan, fan_valid, width, height,

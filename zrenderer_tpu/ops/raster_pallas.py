@@ -703,11 +703,13 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                           normal_matrices,
                           width: int, height: int,
                           pad_height: int, pad_width: int,
-                          interpret: bool = False, material_table=None):
+                          interpret: bool = False, material_table=None,
+                          vertex_shader=None):
     """Geometry pipeline + G-buffer raster; crops to the true viewport."""
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         normal_matrices=normal_matrices, material_table=material_table,
+        vertex_shader=vertex_shader,
     )
     raster = (
         rasterize_gbuffer_pallas
@@ -1016,7 +1018,8 @@ def unpack_rgba8(packed_u32):
 def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                         width: int, height: int,
                         pad_height: int, pad_width: int,
-                        interpret: bool = False, binning: str = "hierarchy"):
+                        interpret: bool = False, binning: str = "hierarchy",
+                        vertex_shader=None):
     """Full frame: shared geometry pipeline + Pallas raster.
 
     Geometry runs at the true (width, height) viewport; the raster target is
@@ -1030,7 +1033,8 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     scenes only, larger ones fall back to the HBM hierarchy).
     """
     tri_i32, tri_f32 = g.geometry_pipeline(
-        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height
+        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
+        vertex_shader=vertex_shader,
     )
     if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_setup_pallas_hbm

@@ -180,14 +180,15 @@ def render_setup_to_u8(tri_i32, tri_f32, width: int, height: int):
 
 
 def render_frame_xla(positions, attrs, tri_vidx, matrices, node_ids,
-                     width: int, height: int):
+                     width: int, height: int, vertex_shader=None):
     """Full frame: geometry pipeline + brute-force raster, jit-friendly.
 
     ``matrices`` are per-draw object_to_clip (object_to_world @ view_proj),
     traced per frame so one compilation serves a dynamic scene.
     """
     tri_i32, tri_f32 = g.geometry_pipeline(
-        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height
+        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
+        vertex_shader=vertex_shader,
     )
     return render_setup_to_u8(tri_i32, tri_f32, width, height)
 
