@@ -43,6 +43,21 @@ def test_app_overlay_burns_in_stats(scene_dir, tmp_path):
     assert greens.sum() > 20
 
 
+def test_app_imgui_ui_burns_in_windows(scene_dir, tmp_path):
+    rc = app_main([
+        "--scene", str(scene_dir), "--width", "256", "--height", "160",
+        "--frames", "1", "--out", str(tmp_path), "--backend", "xla",
+        "--ui",
+    ])
+    assert rc == 0
+    img = read_png(tmp_path / "frame_0000.png")
+    # Outliner node names render in the imgui green; title bars in blue.
+    greens = (img[..., 1] > 150) & (img[..., 0] < 100)
+    assert greens.sum() > 20
+    blues = (img[..., 2] > 90) & (img[..., 2] > img[..., 1])
+    assert blues.sum() > 100  # two title bars
+
+
 def test_app_orbit_moves_camera(scene_dir, tmp_path):
     rc = app_main([
         "--scene", str(scene_dir), "--width", "128", "--height", "64",

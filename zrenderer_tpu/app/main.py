@@ -57,6 +57,9 @@ def main(argv=None) -> int:
                         help="temporal anti-aliasing (jitter + history resolve)")
     parser.add_argument("--overlay", action="store_true",
                         help="rasterize the stats/outliner overlay into frames")
+    parser.add_argument("--ui", action="store_true",
+                        help="full imgui-window UI (stats + scene outliner "
+                             "windows) instead of the simple overlay panel")
     parser.add_argument("--debug", action="store_true",
                         help="interpret-mode kernels (the debug layer)")
     parser.add_argument("--trace", default=None,
@@ -113,7 +116,11 @@ def main(argv=None) -> int:
     print(scene_outliner(scene))
 
     overlay = None
-    if args.overlay:
+    if args.ui:
+        from zrenderer_tpu.app.overlay_ui import ImguiOverlay
+
+        overlay = ImguiOverlay(config.width, config.height)
+    elif args.overlay:
         from zrenderer_tpu.app.overlay_ui import OverlayUI
 
         overlay = OverlayUI(config.width, config.height)
@@ -160,10 +167,16 @@ def main(argv=None) -> int:
                 continue
             img, depth = renderer.read_frame()
             if overlay is not None:
-                img = overlay.compose(
-                    img,
-                    [renderer.stats.format_line()] + scene_outliner(scene).split("\n"),
-                )
+                if args.ui:
+                    img = overlay.compose(
+                        img, renderer.stats.format_line(), scene
+                    )
+                else:
+                    img = overlay.compose(
+                        img,
+                        [renderer.stats.format_line()]
+                        + scene_outliner(scene).split("\n"),
+                    )
             if args.out:
                 write_png(os.path.join(args.out, f"frame_{frame_i:04d}.png"), img)
             if frame_i % 30 == 0 or frame_i == args.frames - 1:

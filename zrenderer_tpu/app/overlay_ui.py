@@ -65,3 +65,50 @@ class OverlayUI:
             self.atlas.packed_u32, self.backend,
         )
         return np.asarray(out)
+
+
+class ImguiOverlay:
+    """The full imgui-window UI (app/imgui.py Context): a Stats window and
+    the reference's 'Scene Outliner' window (igBegin / igBulletText /
+    igSameLine / igTextColored, zrenderer.zig:246-254), composited by the
+    overlay pass.  Headless apps call :meth:`compose` with no input; an
+    interactive host (the viewer) feeds ``ctx.io`` first, making windows
+    draggable/collapsible live."""
+
+    OUTLINER_GREEN = (0.0, 0.8, 0.0, 1.0)  # igTextColored(0, 0.8, 0, 1)
+
+    def __init__(self, width: int, height: int, backend: str | None = None,
+                 max_tris: int = MAX_TRIS):
+        from zrenderer_tpu.app.imgui import Context
+
+        self.ctx = Context(width, height)
+        self.max_tris = max_tris
+        if backend is None:
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
+
+    def build(self, stats_line: str, scene) -> None:
+        """Submit the frame's windows (between new_frame and render)."""
+        ctx = self.ctx
+        ctx.begin("Stats", pos=(8, 8))
+        ctx.text(stats_line)
+        ctx.end()
+        ctx.begin("Scene Outliner", pos=(8, 70))
+        for node in scene.nodes:
+            ctx.bullet_text("")
+            ctx.same_line()
+            ctx.text_colored(self.OUTLINER_GREEN, node.name)
+        ctx.end()
+
+    def compose(self, frame_u8: np.ndarray, stats_line: str,
+                scene) -> np.ndarray:
+        ctx = self.ctx
+        ctx.new_frame()
+        self.build(stats_line, scene)
+        dl = ctx.render()
+        ti, tf = dl.setup(self.max_tris)
+        out = overlay_pass(
+            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
+            ctx.atlas.packed_u32, self.backend,
+        )
+        return np.asarray(out)
