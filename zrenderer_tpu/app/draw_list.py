@@ -24,6 +24,17 @@ from zrenderer_tpu.ops import overlay_raster as ov
 f32 = np.float32
 
 
+def padded_count(n: int, lo: int = 64, hi: int | None = None) -> int:
+    """Next power-of-two ≥ n (≥ lo): pads the traced triangle-array shape to
+    a small set of buckets so the overlay jit cache stays warm while a
+    mostly-empty UI doesn't pay for the worst-case list (the growable-VB
+    analog — GuiRenderer grows in chunks too, GuiRenderer.zig:124-168)."""
+    t = lo
+    while t < n:
+        t *= 2
+    return min(t, hi) if hi is not None else t
+
+
 class DrawList:
     def __init__(self, width: int, height: int, atlas: UIAtlas | None = None):
         self.width = width

@@ -100,15 +100,22 @@ class ImguiOverlay:
             ctx.text_colored(self.OUTLINER_GREEN, node.name)
         ctx.end()
 
+    def compose_dl(self, frame_u8: np.ndarray, dl: DrawList) -> np.ndarray:
+        """Composite finished draw data onto a frame (device-side).  The
+        triangle arrays pad to power-of-two buckets (draw_list.padded_count)
+        capped at max_tris, so small UIs trace small shapes."""
+        from zrenderer_tpu.app.draw_list import padded_count
+
+        ti, tf = dl.setup(padded_count(len(dl), hi=self.max_tris))
+        out = overlay_pass(
+            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
+            self.ctx.atlas.packed_u32, self.backend,
+        )
+        return np.asarray(out)
+
     def compose(self, frame_u8: np.ndarray, stats_line: str,
                 scene) -> np.ndarray:
         ctx = self.ctx
         ctx.new_frame()
         self.build(stats_line, scene)
-        dl = ctx.render()
-        ti, tf = dl.setup(self.max_tris)
-        out = overlay_pass(
-            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
-            ctx.atlas.packed_u32, self.backend,
-        )
-        return np.asarray(out)
+        return self.compose_dl(frame_u8, ctx.render())
