@@ -207,6 +207,36 @@ def test_upload_backpressure_stalls_and_recovers():
         r2.render()
 
 
+def test_frames_in_flight_pacing():
+    """present() fences only older frames (2-frames-in-flight,
+    zd3d12.zig:45/:663-667): after render+present exactly one frame stays
+    outstanding; frames_in_flight=1 presents fully synchronously; bare
+    render() loops stay bounded; finish_gpu_commands drains everything."""
+    scene, mesh_data = make_test_scene()
+    r = Renderer(RenderConfig(width=96, height=64, backend="xla",
+                              tri_align=64))
+    r.load_scene(scene, mesh_data)
+    for _ in range(3):
+        r.render()
+        r.present()
+    assert len(r._in_flight) == 1  # the newest frame is still "on the GPU"
+    r.finish_gpu_commands()
+    assert len(r._in_flight) == 0
+    for _ in range(4):
+        r.render()  # present-less loop: pacing bounds the queue
+    assert len(r._in_flight) <= 2
+    img, _ = r.render_and_read()  # read_frame syncs + clears
+    assert len(r._in_flight) == 0
+    assert (img[..., :3].sum(axis=-1) > 0).any()
+
+    r1 = Renderer(RenderConfig(width=96, height=64, backend="xla",
+                               tri_align=64, frames_in_flight=1))
+    r1.load_scene(scene, mesh_data)
+    r1.render()
+    r1.present()
+    assert len(r1._in_flight) == 0  # fully synchronous present
+
+
 def test_resource_pool_is_load_bearing():
     """The render data path resolves device buffers through generational
     handles: destroying one makes the next render fail loudly, and

@@ -51,6 +51,11 @@ class RenderConfig:
     # the device and retries (zd3d12.zig:1240-1250 semantics).
     upload_heap_bytes: int = 18 * 2**20
     readback: bool = True  # device->host copy of each frame ("present")
+    # CPU<->device pipelining depth (max_num_buffered_frames=2,
+    # zd3d12.zig:45): present() fences only when the host is this many
+    # frames ahead, so frame N+1's host prep overlaps frame N's device
+    # work.  1 = fully synchronous present.
+    frames_in_flight: int = 2
 
     @property
     def pad_width(self) -> int:

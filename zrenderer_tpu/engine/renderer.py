@@ -47,7 +47,11 @@ class Renderer:
         self.stats = FrameStats()
         from zrenderer_tpu.engine.upload_ring import UploadRing
 
-        self.upload_ring = UploadRing(self.config.upload_heap_bytes)
+        self.upload_ring = UploadRing(
+            self.config.upload_heap_bytes,
+            frames=max(self.config.frames_in_flight, 1),
+        )
+        self._in_flight = []  # enqueued frames not yet fenced (oldest first)
         self.flat: FlatScene | None = None
         self._buffer_handles = {}  # name -> generational Handle
         self._vertex_shader = None
@@ -399,6 +403,11 @@ class Renderer:
         """
         assert self.flat is not None, "load_scene first"
         with ztracy.zone("render"):
+            # beginFrame: fence pacing bounds how far the host runs ahead
+            # (and bounds _in_flight for present-less render loops; their
+            # staging accumulates in one ring slot until the back-pressure
+            # stall drains + resets — safe by construction).
+            self._pace()
             frame = self._frame_fn()
             b = self._buffers()
             pipeline = self.config.pipeline
@@ -445,6 +454,7 @@ class Renderer:
             if self.config.debug:
                 self._validate_frame(color, depth)
             self._pending = (color, depth)
+            self._in_flight.append(self._pending)
             self.stats.update(
                 triangles=self.flat.num_triangles,
                 pixels=self.config.width * self.config.height,
@@ -508,16 +518,30 @@ class Renderer:
                 )
         return staged
 
+    def _pace(self) -> None:
+        """Fence until at most ``frames_in_flight - 1`` frames remain
+        outstanding (max_num_buffered_frames=2 -> wait on frame N-1 while
+        N executes, zd3d12.zig:45, :663-667).  The staging-ring slot about
+        to be reused always belongs to a frame drained here (ring depth ==
+        frames_in_flight)."""
+        keep = max(self.config.frames_in_flight - 1, 0)
+        while len(self._in_flight) > keep:
+            jax.block_until_ready(self._in_flight.pop(0))
+
     def present(self):
-        """Fence on the most recent frame (the Present + fence analog,
-        zd3d12.zig:649-667).  The frame STAYS on device — the reference's
-        Present flips an on-GPU swapchain without any CPU copy; the analog
-        here is completion of the device step.  Returns the device arrays.
-        """
+        """Present + fence pacing (zd3d12.zig:649-667): after submitting
+        frame N the host blocks only until frame N-1 completes, so the next
+        frame's host prep overlaps frame N's device work.  Frames STAY on
+        device — the reference's Present flips an on-GPU swapchain with no
+        CPU copy either.  Returns the device arrays of the newest frame
+        (not necessarily complete yet; read_frame / finish_gpu_commands
+        synchronize)."""
         assert self._pending is not None, "render first"
         with ztracy.zone("present"):
-            jax.block_until_ready(self._pending)
-            # endFrame: rotate the per-frame upload heap (zd3d12.zig:672-674).
+            self._pace()
+            # endFrame: rotate the per-frame staging heap (zd3d12.zig:672-674).
+            # A ring slot is reused after frames_in_flight presents, by which
+            # time _pace() has fenced the frame that staged into it.
             self.upload_ring.begin_frame()
             return self._pending
 
@@ -528,7 +552,11 @@ class Renderer:
         assert self._pending is not None, "render first"
         color, depth = self._pending
         with ztracy.zone("read_frame"):
-            return np.asarray(color), np.asarray(depth)
+            out = np.asarray(color), np.asarray(depth)
+        # The copy synchronized the newest frame; device ops complete in
+        # program order, so every older in-flight frame is done too.
+        self._in_flight.clear()
+        return out
 
     def render_and_read(self, camera=None, transforms=None):
         self.render(camera, transforms)
@@ -572,5 +600,7 @@ class Renderer:
 
     def finish_gpu_commands(self) -> None:
         """Drain the device (finishGpuCommands analog, zd3d12.zig:784-794)."""
+        while self._in_flight:
+            jax.block_until_ready(self._in_flight.pop(0))
         if self._pending is not None:
             jax.block_until_ready(self._pending)
