@@ -277,6 +277,70 @@ def test_compute_pipeline_create_dispatch_destroy():
         r.dispatch(h, img)
 
 
+def test_mesh_pipeline_device_generated_geometry():
+    """createMeshShaderPipeline analog: geometry emitted by a device
+    program renders identically to the same geometry uploaded as buffers
+    (both go through the identical raster path/backend)."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops import geometry as g
+    from zrenderer_tpu.ops.raster_xla import render_frame_xla
+    from zrenderer_tpu.scene.procedural import make_test_scene
+
+    n = 6  # n x n grid of quads in the z=0 plane, vertex-colored by height
+
+    def grid_np():
+        xs = np.linspace(-1.0, 1.0, n + 1, dtype=np.float32)
+        px, py = np.meshgrid(xs, xs, indexing="xy")
+        v = (n + 1) * (n + 1)
+        positions = np.stack(
+            [px.ravel(), py.ravel(), np.zeros(v, np.float32),
+             np.ones(v, np.float32)], axis=1)
+        attrs = np.zeros((v, 12), np.float32)
+        attrs[:, 2] = (py.ravel() + 1.0) * 0.5  # color.r from height
+        attrs[:, 3] = 0.3
+        attrs[:, 5] = 1.0  # alpha
+        cell = np.arange(n * n, dtype=np.int32)
+        r0 = (cell // n) * (n + 1) + (cell % n)
+        quads = np.stack([r0, r0 + 1, r0 + n + 2, r0, r0 + n + 2, r0 + n + 1],
+                         axis=1)
+        tri_vidx = quads.reshape(-1, 3)
+        return positions, attrs, tri_vidx, np.zeros(v, np.int32)
+
+    def grid_device():
+        p, a, t, vn = grid_np()  # numpy consts trace as device constants;
+        # a real mesh shader computes them with jnp — do one field that way
+        # to prove device math feeds the raster:
+        a = jnp.asarray(a).at[:, 4].set(jnp.asarray(p)[:, 0] * 0.0 + 0.25)
+        return jnp.asarray(p), a, jnp.asarray(t), jnp.asarray(vn)
+
+    scene, _ = make_test_scene()
+    w, h = 96, 64
+    vp = g.view_proj_from_camera(scene.active_camera, w, h)
+    matrices = vp[None].astype(np.float32)
+
+    r = Renderer(RenderConfig(width=w, height=h, backend="xla",
+                              vert_align=32, tri_align=64))
+    handle = r.create_mesh_pipeline(grid_device)
+    color_ms, depth_ms = r.dispatch(handle, matrices)
+
+    # Oracle: identical geometry through the plain buffer path.
+    p, a, t, vn = grid_np()
+    a[:, 4] = 0.25
+    pad_v = 32 - len(p) % 32
+    pad_t = 64 - len(t) % 64
+    p = np.concatenate([p, np.zeros((pad_v, 4), np.float32)])
+    a = np.concatenate([a, np.zeros((pad_v, 12), np.float32)])
+    vn = np.concatenate([vn, np.zeros(pad_v, np.int32)])
+    t = np.concatenate([t, np.zeros((pad_t, 3), np.int32)])
+    color_ref, depth_ref = render_frame_xla(p, a, t, matrices, vn, w, h)
+
+    np.testing.assert_array_equal(np.asarray(color_ms), np.asarray(color_ref))
+    np.testing.assert_array_equal(np.asarray(depth_ms), np.asarray(depth_ref))
+    assert (np.asarray(color_ms)[..., :3].sum(axis=-1) > 0).any()
+    r.destroy_pipeline(handle)
+
+
 def test_custom_vertex_shader():
     """The programmable vertex-stage capability: a custom VS (object-space
     displacement) changes the image; unbinding restores it."""

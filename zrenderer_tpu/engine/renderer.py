@@ -585,6 +585,43 @@ class Renderer:
         jitted = jax.jit(fn, static_argnums=static_argnums)
         return self.pipelines.add_pipeline(jitted)
 
+    def create_mesh_pipeline(self, fn):
+        """createMeshShaderPipeline analog (zd3d12.zig:1048-1145): the
+        pipeline kind whose geometry comes from a GPU program instead of
+        vertex buffers.  ``fn(*args) -> (positions (V, 4) f32,
+        attrs (V, 12) f32, tri_vidx (T, 3) i32, vert_node (V,) i32)`` runs
+        ON DEVICE inside the jitted frame — generated geometry never touches
+        the host (the mesh-shader promise).  Outputs are padded in-trace to
+        the raster alignments (zero rows = degenerate triangles, culled like
+        load-time padding).  Run it with
+        ``dispatch(handle, matrices, *fn_args)`` where ``matrices`` is the
+        (num_draws, 4, 4) object_to_clip table; returns (color, depth)."""
+        cfg = self.config
+        backend = self.backend
+        va, ta = cfg.vert_align, cfg.tri_align
+
+        def frame(matrices, *args):
+            positions, attrs, tri_vidx, vert_node = fn(*args)
+            pv = -(-positions.shape[0] // va) * va - positions.shape[0]
+            pt = -(-tri_vidx.shape[0] // ta) * ta - tri_vidx.shape[0]
+            positions = jnp.pad(positions, ((0, pv), (0, 0)))
+            attrs = jnp.pad(attrs, ((0, pv), (0, 0)))
+            vert_node = jnp.pad(vert_node, ((0, pv),))
+            tri_vidx = jnp.pad(tri_vidx, ((0, pt), (0, 0)))
+            if backend == "pallas":
+                color, depth = raster_pallas.render_frame_pallas(
+                    positions, attrs, tri_vidx, matrices, vert_node,
+                    cfg.width, cfg.height, cfg.pad_height, cfg.pad_width,
+                    interpret=cfg.debug,
+                )
+                return raster_pallas.unpack_rgba8(color), depth
+            return raster_xla.render_frame_xla(
+                positions, attrs, tri_vidx, matrices, vert_node,
+                cfg.width, cfg.height,
+            )
+
+        return self.pipelines.add_pipeline(jax.jit(frame))
+
     def dispatch(self, handle, *args, **kwargs):
         """setCurrentPipeline + Dispatch analog (zd3d12.zig:1207-1227 +
         compute dispatch): run a pooled compute pipeline.  Stale handles
