@@ -50,6 +50,7 @@ def main() -> int:
     for _ in range(frames):
         r.render()
         r.present()
+    r.finish_gpu_commands()  # drain the in-flight frame inside the window
     dt = (time.perf_counter() - t0) / frames
     img, depth = r.read_frame()
     cov = (depth < 1.0).mean()

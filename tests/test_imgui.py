@@ -456,6 +456,50 @@ def test_render_composites_through_oracle():
     assert not out[200:, 250:, :3].any()
 
 
+def test_collapsed_window_clips_careless_submission():
+    """A caller that ignores begin()'s False and submits widgets anyway
+    must not paint them over the scene — the empty collapsed scissor."""
+    ctx = make_ctx()
+
+    def build(ui):
+        ui.begin("Win", pos=(20, 20), size=(120, 80))
+        ui.text("SHOULD NOT SHOW WHEN COLLAPSED")
+        ui.end()
+        return ui.render()
+
+    ui_frame(ctx, build)
+    ctx.windows["Win"].collapsed = True
+    dl = ui_frame(ctx, build)
+    frame = np.zeros((H, W, 4), np.uint8)
+    verts, scissors = dl.build()
+    out = composite_overlay_cpu(frame, verts, scissors, ctx.atlas.data)
+    # Title bar drawn, but nothing below it (the body region stays black).
+    assert out[20:42, 20:140, :3].any()
+    assert not out[44:, :, :3].any()
+
+
+def test_mouse_leave_mid_drag_does_not_teleport():
+    """A leave event parks the cursor offscreen; the next frame's delta
+    must be zero (else windows teleport by ~1e30 px)."""
+    ctx = make_ctx()
+
+    def build(ui):
+        ui.begin("Win", pos=(50, 50), size=(120, 80))
+        ui.end()
+
+    ui_frame(ctx, build)
+    w = ctx.windows["Win"]
+    ctx.io.add_mouse_pos_event(110, 58)
+    ctx.io.add_mouse_button_event(0, True)
+    ui_frame(ctx, build)
+    ctx.io.mouse_leave()
+    ui_frame(ctx, build)
+    assert w.pos == [50, 50]
+    ctx.io.add_mouse_pos_event(110, 58)  # re-enter
+    ui_frame(ctx, build)
+    assert w.pos == [50, 50]
+
+
 def test_window_content_clipped_to_body():
     ctx = make_ctx()
 

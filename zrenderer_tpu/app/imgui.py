@@ -163,11 +163,15 @@ class FrameInput:
         io._events.clear()
         self.mouse_pos = io.mouse_pos
         self.mouse_down = list(io.mouse_down)
+        # Delta is zero whenever EITHER endpoint is the offscreen park
+        # value (mouse_leave), else a leave mid-drag teleports windows by
+        # ~1e30 px.
+        onscreen = (self.prev_mouse_pos[0] > -1.0e29
+                    and self.mouse_pos[0] > -1.0e29)
         self.mouse_delta = (
-            self.mouse_pos[0] - self.prev_mouse_pos[0]
-            if self.prev_mouse_pos[0] > -1.0e29 else 0.0,
-            self.mouse_pos[1] - self.prev_mouse_pos[1]
-            if self.prev_mouse_pos[1] > -1.0e29 else 0.0,
+            (self.mouse_pos[0] - self.prev_mouse_pos[0],
+             self.mouse_pos[1] - self.prev_mouse_pos[1])
+            if onscreen else (0.0, 0.0)
         )
 
 
@@ -358,6 +362,10 @@ class Context:
         self._chrome = (focused, closable, close_hot)
 
         if w.collapsed:
+            # Empty scissor: a caller that ignores the False return and
+            # submits widgets anyway gets them clipped away, not painted
+            # over the scene.  end() pops this.
+            w.dl.push_clip_rect(0, 0, 0, 0, intersect=False)
             self._cursor = [x0, body_y0]
             self._content_min_y = body_y0
             self._open = False
@@ -398,8 +406,8 @@ class Context:
         st = self.style
         w = self._cur
         focused, closable, close_hot = self._chrome
+        w.dl.pop_clip_rect()  # content clip (open) or empty clip (collapsed)
         if self._open:
-            w.dl.pop_clip_rect()
             w.content_h = self._cursor[1] - self._content_min_y
             w.content_w = self._content_max_x - (w.pos[0] + st.window_padding)
             if w.auto_size:

@@ -25,6 +25,29 @@ TEXT_COLOR = (0.0, 0.9, 0.0, 1.0)  # the outliner's green (zrenderer.zig:251)
 MAX_TRIS = 4096
 
 
+def detect_backend(backend: str | None) -> str:
+    """Overlay backend selection shared by every UI compositor."""
+    if backend is not None:
+        return backend
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
+def compose_draw_list(frame_u8, dl: DrawList, atlas_u32, backend: str,
+                      min_tris: int = 64) -> np.ndarray:
+    """Composite finished draw data onto a frame (device-side).  Triangle
+    arrays pad to power-of-two buckets that GROW with the UI (the
+    growable-VB analog, GuiRenderer.zig:124-168) — a huge draw list costs a
+    recompile at the next bucket, never a crash."""
+    from zrenderer_tpu.app.draw_list import padded_count
+
+    ti, tf = dl.setup(padded_count(len(dl), lo=min_tris))
+    out = overlay_pass(
+        jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
+        atlas_u32, backend,
+    )
+    return np.asarray(out)
+
+
 class OverlayUI:
     def __init__(self, width: int, height: int, scale: int = 2,
                  backend: str | None = None, max_tris: int = MAX_TRIS):
@@ -33,9 +56,7 @@ class OverlayUI:
         self.scale = scale
         self.max_tris = max_tris
         self.atlas = font.UIAtlas()
-        if backend is None:
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        self.backend = backend
+        self.backend = detect_backend(backend)
 
     def draw_panel(self, dl: DrawList, lines, origin=(8, 8)) -> None:
         """One imgui-style window: translucent background, border, text."""
@@ -59,12 +80,8 @@ class OverlayUI:
         """Blend the stats/outliner window onto a frame (device-side)."""
         dl = DrawList(self.width, self.height, self.atlas)
         self.draw_panel(dl, list(lines))
-        ti, tf = dl.setup(self.max_tris)
-        out = overlay_pass(
-            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
-            self.atlas.packed_u32, self.backend,
-        )
-        return np.asarray(out)
+        return compose_draw_list(frame_u8, dl, self.atlas.packed_u32,
+                                 self.backend)
 
 
 class ImguiOverlay:
@@ -77,41 +94,28 @@ class ImguiOverlay:
 
     OUTLINER_GREEN = (0.0, 0.8, 0.0, 1.0)  # igTextColored(0, 0.8, 0, 1)
 
-    def __init__(self, width: int, height: int, backend: str | None = None,
-                 max_tris: int = MAX_TRIS):
+    def __init__(self, width: int, height: int, backend: str | None = None):
         from zrenderer_tpu.app.imgui import Context
 
         self.ctx = Context(width, height)
-        self.max_tris = max_tris
-        if backend is None:
-            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        self.backend = backend
+        self.backend = detect_backend(backend)
 
     def build(self, stats_line: str, scene) -> None:
         """Submit the frame's windows (between new_frame and render)."""
         ctx = self.ctx
-        ctx.begin("Stats", pos=(8, 8))
-        ctx.text(stats_line)
+        if ctx.begin("Stats", pos=(8, 8)):
+            ctx.text(stats_line)
         ctx.end()
-        ctx.begin("Scene Outliner", pos=(8, 70))
-        for node in scene.nodes:
-            ctx.bullet_text("")
-            ctx.same_line()
-            ctx.text_colored(self.OUTLINER_GREEN, node.name)
+        if ctx.begin("Scene Outliner", pos=(8, 70)):
+            for node in scene.nodes:
+                ctx.bullet_text("")
+                ctx.same_line()
+                ctx.text_colored(self.OUTLINER_GREEN, node.name)
         ctx.end()
 
     def compose_dl(self, frame_u8: np.ndarray, dl: DrawList) -> np.ndarray:
-        """Composite finished draw data onto a frame (device-side).  The
-        triangle arrays pad to power-of-two buckets (draw_list.padded_count)
-        capped at max_tris, so small UIs trace small shapes."""
-        from zrenderer_tpu.app.draw_list import padded_count
-
-        ti, tf = dl.setup(padded_count(len(dl), hi=self.max_tris))
-        out = overlay_pass(
-            jnp.asarray(frame_u8), jnp.asarray(ti), jnp.asarray(tf),
-            self.ctx.atlas.packed_u32, self.backend,
-        )
-        return np.asarray(out)
+        return compose_draw_list(frame_u8, dl, self.ctx.atlas.packed_u32,
+                                 self.backend)
 
     def compose(self, frame_u8: np.ndarray, stats_line: str,
                 scene) -> np.ndarray:

@@ -71,17 +71,21 @@ function pos(e) {
   const r = view.getBoundingClientRect();
   return {x: e.clientX - r.left, y: e.clientY - r.top};
 }
-view.addEventListener('mousemove', e => {
+// JS buttons: 0=left, 1=middle, 2=right; InputState: 0=left, 1=right,
+// 2=middle (the Win32/ImGui order) — swap 1 and 2.
+function btn(e) { return e.button === 2 ? 1 : (e.button === 1 ? 2 : 0); }
+// move/up listen on window so drags that overshoot the frame still track
+// and the release is never lost (the SetCapture analog, common.zig:92-113)
+window.addEventListener('mousemove', e => {
   const p = pos(e); post({t: 'move', x: p.x, y: p.y});
 });
 view.addEventListener('mousedown', e => {
-  view.focus(); post({t: 'down', b: e.button === 2 ? 1 : e.button});
+  view.focus(); post({t: 'down', b: btn(e)});
   e.preventDefault();
 });
-view.addEventListener('mouseup', e => {
-  post({t: 'up', b: e.button === 2 ? 1 : e.button});
+window.addEventListener('mouseup', e => {
+  post({t: 'up', b: btn(e)});
 });
-view.addEventListener('mouseleave', () => post({t: 'leave'}));
 view.addEventListener('wheel', e => {
   post({t: 'wheel', dy: -e.deltaY / 100}); e.preventDefault();
 }, {passive: false});
@@ -218,19 +222,22 @@ class Viewer:
             events, self.shared.events = self.shared.events, []
         io = self.ctx.io
         for e in events:
-            t = e.get("t")
-            if t == "move":
-                io.add_mouse_pos_event(float(e["x"]), float(e["y"]))
-            elif t == "down":
-                io.add_mouse_button_event(int(e["b"]), True)
-            elif t == "up":
-                io.add_mouse_button_event(int(e["b"]), False)
-            elif t == "wheel":
-                io.add_mouse_wheel_event(0.0, float(e["dy"]))
-            elif t == "key":
-                io.add_key_event(str(e["k"]), bool(e["down"]))
-            elif t == "leave":
-                io.mouse_leave()
+            try:
+                t = e.get("t")
+                if t == "move":
+                    io.add_mouse_pos_event(float(e["x"]), float(e["y"]))
+                elif t == "down":
+                    io.add_mouse_button_event(int(e["b"]), True)
+                elif t == "up":
+                    io.add_mouse_button_event(int(e["b"]), False)
+                elif t == "wheel":
+                    io.add_mouse_wheel_event(0.0, float(e["dy"]))
+                elif t == "key":
+                    io.add_key_event(str(e["k"]), bool(e["down"]))
+                elif t == "leave":
+                    io.mouse_leave()
+            except (KeyError, TypeError, ValueError):
+                log.warning("dropping malformed input event: %r", e)
         return len(events)
 
     def _update_camera(self, dt: float) -> None:
@@ -263,6 +270,7 @@ class Viewer:
         self.ui.build(self.renderer.stats.format_line(), self.scene)
         self._update_camera(dt)
         self.renderer.render()
+        self.renderer.present()  # fence pacing + staging-ring rotation
         img, _depth = self.renderer.read_frame()
         img = self.ui.compose_dl(img, ctx.render())
         png = encode_png(img)
