@@ -63,8 +63,11 @@ def main() -> int:
 
     # Sanity: frame must actually contain the scene.  Downsample on device
     # before the host copy — the benchmark box reaches the TPU through a
-    # network tunnel where a full 8 MB readback can take minutes (on a
-    # co-located host read_frame() is milliseconds).
+    # network tunnel where the FIRST device->host transfer of a process pays
+    # a ~3-5 minute one-time channel-setup cost (measured: a 4-byte scalar
+    # D2H = 288 s, the next 32 KB D2H = 33 ms); on a co-located host
+    # read_frame() is milliseconds.  The cost lands here, outside the timed
+    # loop, and every later readback (parity below) is fast.
     color, depth = renderer._pending
     t0 = time.perf_counter()
     img = np.asarray(color[::16, ::16])
