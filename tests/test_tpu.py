@@ -163,3 +163,37 @@ def test_overlay_pass_compiled(on_tpu):
     ))
     diff = np.abs(got.astype(np.int32) - expect.astype(np.int32))
     assert (diff <= np.maximum(count, 1)[..., None]).all(), diff.max()
+
+
+def test_many_light_deferred_matches_xla_reference(on_tpu):
+    """256-light deferred on hardware vs the XLA reference shade (<= 2 LSB).
+
+    Regression test for two real on-chip bugs caught in round 2: the
+    default-precision einsums in reconstruct_world_pos / shadow clip ran
+    bf16 on the MXU (up to 252 u8 divergence), and kernel timings hid it
+    because axon's block_until_ready does not wait for device execution.
+    """
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+    from zrenderer_tpu.scene.scene import Scene
+    from zrenderer_tpu.scene.mesh import MeshData
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "..")
+    sd = os.path.join(here, "content", "scenes", "test_scene")
+    scene = Scene.load(os.path.join(sd, "scene.bin"))
+    md = MeshData.load(os.path.join(sd, "meshes.bin"))
+    rng = np.random.default_rng(3)
+    pos = rng.uniform([-6, 0.5, -6], [6, 6, 6], (256, 3)).astype(np.float32)
+    col = rng.uniform(0.1, 1.0, (256, 3)).astype(np.float32)
+
+    imgs = {}
+    for backend in ("pallas", "xla"):
+        r = Renderer(RenderConfig(width=W, height=H, pipeline="deferred",
+                                  backend=backend, tri_align=64))
+        r.load_scene(scene, md)
+        r.set_environment(lights=(pos, col))
+        img, _ = r.render_and_read()
+        imgs[backend] = img.astype(np.int32)
+    d = np.abs(imgs["pallas"] - imgs["xla"])
+    assert d.max() <= 2, (d.max(), (d > 2).mean())

@@ -38,6 +38,11 @@ class RenderConfig:
     shadow_slope_bias: float = 3e-3
     pcf_taps: int = 1
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
+    # bf16 experiment (deferred/pallas only): stream the G-buffer planes
+    # through the tiled light kernel at half width ("bf16"); BRDF math
+    # stays f32.  "f32" (default) keeps the 1-LSB parity contract with the
+    # XLA reference shade.  Measured results: docs/PERFORMANCE.md.
+    lighting_planes: str = "f32"
     # The debug layer (SURVEY.md §5.2): interpret-mode Pallas kernels + frame
     # output validation; on the XLA backend the frame is additionally
     # compiled with checkify NaN/div/OOB asserts (engine/renderer.py).

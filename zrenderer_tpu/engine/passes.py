@@ -161,7 +161,8 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
 
 
 def build_deferred_frame(backend, width, height, pad_height, pad_width,
-                         interpret=False, vertex_shader=None):
+                         interpret=False, vertex_shader=None,
+                         lighting_planes="f32"):
     """Config 3: deferred G-buffer + GGX lighting with many point lights.
 
     Per-draw materials drive the BRDF per pixel: metallic/roughness planes
@@ -196,6 +197,8 @@ def build_deferred_frame(backend, width, height, pad_height, pad_width,
                 pad(albedo), pad(normal), pad(world), pad(covered),
                 cam_pos, light_pos, light_color, view_proj,
                 roughness=pad(rgh), metallic=pad(met), interpret=interpret,
+                plane_dtype=(jnp.bfloat16 if lighting_planes == "bf16"
+                             else jnp.float32),
             )[:height, :width]
         else:
             rgb = shading.ggx_shade_many_lights(

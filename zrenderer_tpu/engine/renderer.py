@@ -295,8 +295,9 @@ class Renderer:
                     vertex_shader=vs,
                 )
             if cfg.pipeline == "deferred":
-                return passes.build_deferred_frame(*args, interpret=cfg.debug,
-                                                   vertex_shader=vs)
+                return passes.build_deferred_frame(
+                    *args, interpret=cfg.debug, vertex_shader=vs,
+                    lighting_planes=cfg.lighting_planes)
             raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
 
         def build():
@@ -641,3 +642,148 @@ class Renderer:
             jax.block_until_ready(self._in_flight.pop(0))
         if self._pending is not None:
             jax.block_until_ready(self._pending)
+
+    def drain_hard(self) -> None:
+        """Drain with a guaranteed execution barrier.
+
+        ``block_until_ready`` is the correct fence on standard JAX runtimes,
+        but the remote axon runtime (TPU behind a tunnel) resolves it when
+        the work is ENQUEUED, not executed — measured: a 256-light deferred
+        frame "completed" in 0.5 ms by block_until_ready while the real
+        device time was ~65 ms.  Materializing any value derived from the
+        frame forces true completion on every runtime.  Benchmarks must
+        fence with this; interactive loops can keep the cheap fence.
+        """
+        self.finish_gpu_commands()
+        if self._pending is not None:
+            np.asarray(self._pending[0][0, 0])
+
+    def render_animation(self, num_frames: int | None = None, cameras=None,
+                         transforms_seq=None, jitters=None):
+        """Render a whole frame sequence in ONE device dispatch.
+
+        The offline-animation / benchmark path: per-frame constants for all
+        N frames are computed on the host, stacked, and uploaded once; a
+        ``lax.scan`` then produces every frame on-device back-to-back (each
+        frame is fully rasterized and reduced to a digest — the scan's
+        analog of presenting to a swapchain that retains only the last
+        image).  Returns ``(digests, (last_color, last_depth))`` where
+        ``digests`` is (N,) f32, one checksum per frame (forces each frame
+        to be fully produced; materializing it is a true fence).
+
+        Why this exists: through the axon tunnel each per-frame dispatch
+        costs ~35 ms of RPC latency (measured; co-located hosts see ~none),
+        so a per-frame loop measures the tunnel, not the renderer.  One
+        dispatch per sequence makes the wall-clock rate equal the device
+        frame rate on any runtime.
+        """
+        assert self.flat is not None, "load_scene first"
+        if self.config.pipeline != "flat" and not hasattr(self, "texture"):
+            self.set_environment()
+        if num_frames is None:
+            num_frames = (len(transforms_seq) if transforms_seq is not None
+                          else len(cameras) if cameras is not None
+                          else len(jitters))
+
+        def per_frame(i):
+            cam = cameras[i] if cameras is not None else None
+            tr = (transforms_seq[i] if transforms_seq is not None else None)
+            jit_ = jitters[i] if jitters is not None else None
+            return cam, tr, jit_
+
+        pipeline = self.config.pipeline
+        if pipeline == "flat":
+            mats = np.stack([
+                self.camera_matrices(*per_frame(i)) for i in range(num_frames)
+            ])
+            xs = {"matrices": mats}
+        else:
+            keys = ["matrices", "normal_mats", "inv_view_proj", "cam_pos",
+                    "view_proj"]
+            per = []
+            for i in range(num_frames):
+                cam, tr, _ = per_frame(i)
+                c = self._lit_constants(cam, tr)
+                if pipeline == "shadowed":
+                    light_vp = self._light_view_proj(
+                        None if tr is None else c["node_to_world"])
+                    c["light_vp"] = light_vp
+                    c["light_matrices"] = np.einsum(
+                        "nij,jk->nik", c["node_to_world"], light_vp
+                    ).astype(np.float32)
+                per.append(c)
+            xs = {k: np.stack([c[k] for c in per]) for k in keys}
+            if pipeline == "shadowed":
+                xs["light_vp"] = np.stack([c["light_vp"] for c in per])
+                xs["light_matrices"] = np.stack(
+                    [c["light_matrices"] for c in per])
+
+        tex_key = None
+        if pipeline != "flat" and hasattr(self, "texture"):
+            tex_key = (tuple(self.texture.base_shape),
+                       self.texture.num_levels,
+                       getattr(self.texture, "num_layers", 1))
+        key = ("anim", pipeline, num_frames, self.backend,
+               self.config.content_hash(), len(self.flat.positions),
+               len(self.flat.tri_vidx), self.flat.draw_count, tex_key,
+               self._vertex_shader_key)
+
+        def build_anim():
+            frame = self._frame_fn()
+            b = self._buffers()
+            tex = getattr(self, "texture", None)
+
+            def body(carry, x):
+                if pipeline == "flat":
+                    color, depth = frame(
+                        b["positions"], b["attrs"], b["tri_vidx"],
+                        b["vert_node"], x["matrices"],
+                    )
+                elif pipeline == "lit":
+                    color, depth = frame(
+                        b, tex.atlas_u32, x["matrices"], x["normal_mats"],
+                        x["inv_view_proj"], x["cam_pos"],
+                        self.light_pos, self.light_color,
+                    )
+                elif pipeline == "shadowed":
+                    color, depth, _sm = frame(
+                        b, tex.atlas_u32, x["matrices"], x["normal_mats"],
+                        x["inv_view_proj"], x["cam_pos"],
+                        x["light_matrices"], x["light_vp"], self.light_dir,
+                        self.light_color,
+                    )
+                elif pipeline == "deferred":
+                    color, depth = frame(
+                        b, x["matrices"], x["normal_mats"],
+                        x["inv_view_proj"], x["cam_pos"],
+                        self.lights[0], self.lights[1], x["view_proj"],
+                    )
+                else:
+                    raise ValueError(pipeline)
+                digest = jnp.sum(color.astype(jnp.float32))
+                # The last frame rides the carry (the swapchain keeps only
+                # the final image); accumulating frames in the scan ys
+                # would allocate N full framebuffers.
+                return (color, depth), digest
+
+            def run(xs_dev, init_color, init_depth):
+                (color, depth), digests = jax.lax.scan(
+                    body, (init_color, init_depth), xs_dev)
+                return digests, color, depth
+
+            return jax.jit(run)
+
+        fn = self.pipelines.get_or_create(key, build_anim)
+
+        xs_dev = {k: jax.device_put(jnp.asarray(v), self.device)
+                  for k, v in xs.items()}
+        h, w = self.config.height, self.config.width
+        init_color = jnp.zeros((h, w, 4), jnp.uint8)
+        init_depth = jnp.ones((h, w), jnp.float32)
+        digests, color, depth = fn(xs_dev, init_color, init_depth)
+        self._pending = (color, depth)
+        self.stats.update(
+            triangles=self.flat.num_triangles * num_frames,
+            pixels=self.config.width * self.config.height * num_frames,
+        )
+        return digests, (color, depth)

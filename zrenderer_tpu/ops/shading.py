@@ -28,9 +28,15 @@ def reconstruct_world_pos(depth_ndc, inv_view_proj, width: int, height: int):
     h, w = depth_ndc.shape
     xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * (2.0 / w) - 1.0
     ys = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * (2.0 / h)
-    ndc = jnp.stack([xs, ys, depth_ndc, jnp.ones_like(xs)], axis=-1)
-    world = jnp.einsum("hwi,ij->hwj", ndc, inv_view_proj)
-    return world[..., :3] / world[..., 3:4]
+    # Explicit multiply-adds, NOT einsum: a default-precision einsum runs
+    # bf16 on the TPU MXU, and the resulting ~0.4% world-position error
+    # was measured to move the deferred image up to 252 u8 LSB off the CPU
+    # reference.  Elementwise FMAs stay f32 on the VPU on every platform.
+    m = inv_view_proj
+    out = []
+    for j in range(4):
+        out.append(xs * m[0, j] + ys * m[1, j] + depth_ndc * m[2, j] + m[3, j])
+    return jnp.stack(out[:3], axis=-1) / out[3][..., None]
 
 
 def blinn_params_from_material(metallic, roughness):
@@ -174,10 +180,15 @@ def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
     without peter-panning flat-on surfaces.
     """
     sh, sw = shadow_depth.shape
-    clip = jnp.einsum(
-        "hwi,ij->hwj",
-        jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1),
-        light_view_proj,
+    # Explicit f32 multiply-adds (see reconstruct_world_pos: default
+    # einsum precision is bf16 on the TPU MXU, which shifts shadow lookup
+    # coordinates by ~0.4%).
+    wx, wy, wz = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+    m = light_view_proj
+    clip = jnp.stack(
+        [wx * m[0, j] + wy * m[1, j] + wz * m[2, j] + m[3, j]
+         for j in range(4)],
+        axis=-1,
     )
     ndc = clip[..., :3] / jnp.maximum(clip[..., 3:4], 1e-8)
     sx = (ndc[..., 0] + 1.0) * (sw * 0.5)
@@ -198,17 +209,24 @@ def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
 
     ix = jnp.clip(sx.astype(jnp.int32), 0, sw - 1)
     iy = jnp.clip(sy.astype(jnp.int32), 0, sh - 1)
-    total = jnp.zeros(z.shape, jnp.float32)
     count = (2 * taps + 1) ** 2
-    flat = shadow_depth.reshape(-1)
+    # ONE gather for the whole kernel: XLA gathers on TPU cost per-INDEX,
+    # not per-byte, and (2t+1)^2 separate full-screen gathers measured
+    # 140+ ms/frame at 1080p.  Instead, stack every edge-clamped shifted
+    # map as channels of one (Sh*Sw, count) array — shifted[k][y, x] ==
+    # shadow[clip(y+dy), clip(x+dx)] exactly matches the old per-tap
+    # clamped lookup — and fetch all taps as one contiguous row per pixel.
+    shifted = []
     for dy in range(-taps, taps + 1):
         for dx in range(-taps, taps + 1):
-            tx = jnp.clip(ix + dx, 0, sw - 1)
-            ty = jnp.clip(iy + dy, 0, sh - 1)
-            # Single-axis gather (see ops/sampling.py:_gather_level).
-            occluder = jnp.take(flat, ty * sw + tx, axis=0)
-            total = total + (z - total_bias <= occluder).astype(jnp.float32)
-    lit = total / count
+            sl = jnp.pad(shadow_depth, ((taps, taps), (taps, taps)),
+                         mode="edge")[
+                taps + dy:taps + dy + sh, taps + dx:taps + dx + sw]
+            shifted.append(sl)
+    stack = jnp.stack(shifted, axis=-1).reshape(sh * sw, count)
+    rows = jnp.take(stack, iy * sw + ix, axis=0)  # (H, W, count)
+    hits = (z[..., None] - total_bias[..., None] <= rows)
+    lit = hits.astype(jnp.float32).sum(axis=-1) / count
     inside = (
         (ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
         & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1)
