@@ -73,18 +73,24 @@ def light_screen_bounds(light_pos, light_color, view_proj,
     return jnp.stack([jmin, jmax, imin, imax], axis=1)
 
 
-def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
+def _tiled_light_kernel(counts_ref, lights_ref, list_ref, consts_ref,
                         alb_r, alb_g, alb_b, nx, ny, nz, wx, wy, wz, mask,
                         met, rgh,
                         out_r, out_g, out_b):
-    """Cook-Torrance GGX per (tile, light) — the same BRDF as the XLA
-    reference (ops/shading.py:ggx_shade_many_lights), with per-pixel
+    """Cook-Torrance GGX per (tile, light-in-list) — the same BRDF as the
+    XLA reference (ops/shading.py:ggx_shade_many_lights), with per-pixel
     metallic/roughness planes from the G-buffer driving f0, the
-    distribution, and geometry terms (the material system's hot path)."""
+    distribution, and geometry terms (the material system's hot path).
+
+    Light culling is a compacted PER-TILE LIST built in XLA from the
+    conservative screen bounds: ``counts_ref`` (scalar-prefetched, one int
+    per tile) and ``list_ref`` ((tiles, L) light indices, hits first).
+    The loop visits exactly counts[tile] lights — culled lights cost
+    nothing here (the earlier per-light bounds-check + cond cost ~0.25 us
+    per (tile, light) even when skipped, which dominated sparse scenes)."""
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
-    row0 = tile_i * TILE_H
-    col0 = tile_j * TILE_W
+    tile_idx = tile_i * pl.num_programs(1) + tile_j
 
     cam_x = consts_ref[0, 0]
     cam_y = consts_ref[0, 1]
@@ -126,26 +132,21 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
     acc_g = ag * ambient
     acc_b = ab * ambient
 
-    num_lights = lights_ref.shape[0]
-
-    def body(li, acc):
+    def body(slot, acc):
         acc_r, acc_g, acc_b = acc
-        jmin = bounds_ref[li, 0]
-        jmax = bounds_ref[li, 1]
-        imin = bounds_ref[li, 2]
-        imax = bounds_ref[li, 3]
-        hit = (
-            (jmax >= col0) & (jmin < col0 + TILE_W)
-            & (imax >= row0) & (imin < row0 + TILE_H)
-        )
 
         def lit(_):
-            lx = lights_ref[li, 0]
-            ly = lights_ref[li, 1]
-            lz = lights_ref[li, 2]
-            cr = lights_ref[li, 3]
-            cg = lights_ref[li, 4]
-            cb = lights_ref[li, 5]
+            # list_ref is this tile's (1, L, 8) compacted light-data block
+            # (gathered in the XLA prepass): the dynamic index lands in the
+            # sublane dim, which Mosaic compiles; dynamic lane-dim indexing
+            # does not ("multiple of 128" error), and an in-kernel index
+            # list would need exactly that.
+            lx = list_ref[0, slot, 0]
+            ly = list_ref[0, slot, 1]
+            lz = list_ref[0, slot, 2]
+            cr = list_ref[0, slot, 3]
+            cg = list_ref[0, slot, 4]
+            cb = list_ref[0, slot, 5]
 
             dx, dy, dz = lx - wxv, ly - wyv, lz - wzv
             d2 = dx * dx + dy * dy + dz * dz
@@ -185,10 +186,10 @@ def _tiled_light_kernel(lights_ref, bounds_ref, consts_ref,
                          + fb * spec_scale) * cb * rad,
             )
 
-        return jax.lax.cond(hit, lit, lambda _: (acc_r, acc_g, acc_b), None)
+        return lit(None)
 
     acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, num_lights, body, (acc_r, acc_g, acc_b)
+        0, counts_ref[tile_idx], body, (acc_r, acc_g, acc_b)
     )
     m = mask[...] > 0
     out_r[...] = jnp.where(m, acc_r, 0.0)
@@ -224,7 +225,26 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     lights = jnp.concatenate(
         [light_pos, light_color, jnp.zeros((num, 2), jnp.float32)], axis=1
     )
+    # Tiled light culling as an XLA prepass: conservative screen bounds ->
+    # per-tile COMPACTED light lists (hits first, stable order preserves
+    # the reference accumulation order) + counts.  The kernel loop then
+    # visits exactly counts[tile] lights.
     bounds = light_screen_bounds(light_pos, light_color, view_proj, w, h)
+    ty, tx = grid
+    row0 = (jnp.arange(ty, dtype=jnp.int32) * TILE_H)[:, None, None]
+    col0 = (jnp.arange(tx, dtype=jnp.int32) * TILE_W)[None, :, None]
+    jmin, jmax = bounds[None, None, :, 0], bounds[None, None, :, 1]
+    imin, imax = bounds[None, None, :, 2], bounds[None, None, :, 3]
+    hit = ((jmax >= col0) & (jmin < col0 + TILE_W)
+           & (imax >= row0) & (imin < row0 + TILE_H))  # (ty, tx, L)
+    hit = hit.reshape(ty * tx, num)
+    counts = hit.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~hit, axis=1, stable=True)  # hits first, id order
+    # Gather each tile's compacted light DATA (tiles, L, 8) — the kernel
+    # then has zero indirection: slot k of its block IS light k of its
+    # list.  ~0.5 MB at 256 lights/510 tiles, built once per frame in XLA.
+    tile_light_data = jnp.take(lights, order, axis=0)
+
     consts = jnp.asarray(
         [[cam_pos[0], cam_pos[1], cam_pos[2], ambient, 0.0, 0.0, 0.0, 0.0]],
         jnp.float32,
@@ -235,26 +255,31 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     def plane_cast(x):
         return x.astype(plane_dtype)
 
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
     out_r, out_g, out_b = pl.pallas_call(
         _tiled_light_kernel,
-        grid=grid,
-        # Lights/bounds/consts stay in VMEM: measured on hardware, Mosaic
+        # Lights/lists/consts stay in VMEM: measured on hardware, Mosaic
         # compiles the dynamically-indexed (L, k) scalar loads from VMEM
         # ~200x faster than the SMEM alternative at 256 lights (0.5 ms vs
-        # 100 ms full-frame) with bit-identical output images.
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lights
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bounds
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # consts
-        ] + [tile_spec] * 12,
-        out_specs=[tile_spec] * 3,
+        # 100 ms full-frame) with bit-identical output images.  Counts are
+        # scalar-prefetched (SMEM) — one read per tile, loop trip count.
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # lights (unused)
+                pl.BlockSpec((1, num, 8), lambda i, j, *_: (i * tx + j, 0, 0),
+                             memory_space=pltpu.VMEM),  # tile light data
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # consts
+            ] + [tile_spec] * 12,
+            out_specs=[tile_spec] * 3,
+        ),
         out_shape=[plane, plane, plane],
         interpret=interpret,
     )(
-        lights, bounds, consts,
+        counts, lights, tile_light_data, consts,
         plane_cast(albedo[..., 0]), plane_cast(albedo[..., 1]),
         plane_cast(albedo[..., 2]),
         plane_cast(normal[..., 0]), plane_cast(normal[..., 1]),
