@@ -105,3 +105,44 @@ def test_shadowed_emissive_and_texture():
     left, right = _halves(img, depth)
     assert left[0] > left[2]  # textured red
     assert right[1] > left[1]  # emissive green on the right cube
+
+
+def test_quad_sampler_matches_reference_sampler():
+    """The 1-gather quad-atlas bilinear/trilinear equals the 4/8-gather
+    reference sampler bit-for-bit on the same texels."""
+    import jax.numpy as jnp
+    from zrenderer_tpu.engine.textures import Texture, checkerboard
+    from zrenderer_tpu.ops import sampling
+
+    tex = Texture.from_array(checkerboard(64))
+    th, tw = tex.base_shape
+    rng = np.random.default_rng(9)
+    uv = jnp.asarray(rng.uniform(0, 1, (33, 57, 2)).astype(np.float32))
+    lod = jnp.asarray(
+        rng.uniform(0, tex.num_levels - 1, (33, 57)).astype(np.float32))
+    ref = sampling.sample_trilinear(tex.atlas_u32, th, tw, tex.num_levels,
+                                    uv, lod)
+    quad = sampling.sample_trilinear_quad(tex.quad_atlas_u32, th, tw,
+                                          tex.num_levels, uv, lod)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(quad))
+
+
+def test_quad_sampler_texture_array_layers():
+    import jax.numpy as jnp
+    from zrenderer_tpu.engine.textures import Texture, TextureArray, checkerboard
+    from zrenderer_tpu.ops import sampling
+
+    red = Texture.from_array(checkerboard(32, color_a=(1, 0, 0)))
+    blue = Texture.from_array(checkerboard(32, color_a=(0, 0, 1)))
+    arr = TextureArray.from_textures([red, blue])
+    th, tw = arr.base_shape
+    uv = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (8, 16, 2))
+                     .astype(np.float32))
+    lod = jnp.zeros((8, 16), jnp.float32)
+    for layer_idx, tex in ((0, red), (1, blue)):
+        layer = jnp.full((8, 16), layer_idx, jnp.int32)
+        got = sampling.sample_trilinear_quad(
+            arr.quad_atlas_u32, th, tw, arr.num_levels, uv, lod, layer=layer)
+        ref = sampling.sample_trilinear(
+            tex.atlas_u32, th, tw, tex.num_levels, uv, lod)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

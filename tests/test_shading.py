@@ -156,3 +156,46 @@ def test_shadowed_pipeline_end_to_end():
     # The shadow map itself contains scene depth.
     sm = np.asarray(r._shadow_map)
     assert (sm < 1.0).mean() > 0.05
+
+
+def test_shadow_lookup_stride_close_to_exact():
+    """stride=2 PCF (quarter the gathers + bilinear upsample) stays close
+    to the exact per-pixel path on smooth geometry."""
+    import jax.numpy as jnp
+    from zrenderer_tpu.math import zmath as zm
+
+    rng = np.random.default_rng(5)
+    sh = 64
+    shadow_depth = jnp.asarray(
+        np.clip(rng.normal(0.5, 0.1, (sh, sh)), 0, 1).astype(np.float32))
+    h, w = 64, 128
+    # A smooth world-position field (a tilted plane).
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    world = np.stack([xs / w * 4 - 2, ys / h * 4 - 2,
+                      0.1 * xs / w + 0.05 * ys / h], axis=-1)
+    world = jnp.asarray(world)
+    view = zm.look_at_rh(zm.vec3(0, 0, 6), zm.vec3(0, 0, 0), zm.vec3(0, 1, 0))
+    proj = zm.orthographic_rh(8.0, 8.0, 0.1, 20.0)
+    lvp = jnp.asarray(zm.mul(view, proj))
+    exact = np.asarray(shading.shadow_factor_pcf_strided(
+        shadow_depth, world, lvp, stride=1))
+    approx = np.asarray(shading.shadow_factor_pcf_strided(
+        shadow_depth, world, lvp, stride=2))
+    assert approx.shape == exact.shape
+    # Lit fractions agree on average; local error bounded by the blur.
+    assert abs(approx.mean() - exact.mean()) < 0.05
+    assert np.abs(approx - exact).mean() < 0.15
+
+
+def test_shadowed_pipeline_stride_config_runs():
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+    from zrenderer_tpu.scene.procedural import make_test_scene
+
+    scene, md = make_test_scene()
+    r = Renderer(RenderConfig(width=128, height=64, pipeline="shadowed",
+                              tri_align=64, shadow_size=128,
+                              shadow_lookup_stride=2))
+    r.load_scene(scene, md)
+    img, depth = r.render_and_read()
+    assert (depth < 1.0).mean() > 0.05

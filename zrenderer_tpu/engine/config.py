@@ -37,6 +37,11 @@ class RenderConfig:
     shadow_bias: float = 2e-3
     shadow_slope_bias: float = 3e-3
     pcf_taps: int = 1
+    # Shadow-lookup resolution divisor: 1 = exact per-pixel PCF; 2 = PCF
+    # at every 2nd pixel + bilinear upsample of the lit fraction (4x fewer
+    # TPU gathers — the shadow pass's dominant cost; PCF is already a
+    # blur, so away from contact edges the image is visually identical).
+    shadow_lookup_stride: int = 1
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
     # bf16 experiment (deferred/pallas only): stream the G-buffer planes
     # through the tiled light kernel at half width ("bf16"); BRDF math

@@ -70,7 +70,9 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
     uv = jnp.stack([u, v], axis=-1)
     lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
     layer = tex_layer.astype(jnp.int32) if layered else None
-    tex = sampling.sample_trilinear(
+    # Quad-atlas sampler: 2 gathers per pixel instead of 8 (trilinear) —
+    # per-index gather cost made the 8-gather path 131 ms/frame at 1080p.
+    tex = sampling.sample_trilinear_quad(
         tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
     )
     return (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
@@ -115,7 +117,8 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
 def build_shadowed_frame(backend, width, height, pad_height, pad_width,
                          texture, shadow_size=1024, interpret=False,
                          shadow_bias=2e-3, shadow_slope_bias=3e-3,
-                         pcf_taps=1, vertex_shader=None):
+                         pcf_taps=1, vertex_shader=None,
+                         shadow_lookup_stride=1):
     """Config 2: directional light shadow map (depth-only pass + PCF)."""
 
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
@@ -143,8 +146,9 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
         )
         world = shading.reconstruct_world_pos(depth, inv_view_proj, width, height)
 
-        lit_mask = shading.shadow_factor_pcf(
+        lit_mask = shading.shadow_factor_pcf_strided(
             shadow_depth, world, light_view_proj,
+            stride=shadow_lookup_stride,
             bias=shadow_bias, taps=pcf_taps,
             normal=n, light_dir=light_dir, slope_bias=shadow_slope_bias,
         )

@@ -293,6 +293,7 @@ class Renderer:
                     shadow_slope_bias=cfg.shadow_slope_bias,
                     pcf_taps=cfg.pcf_taps,
                     vertex_shader=vs,
+                    shadow_lookup_stride=cfg.shadow_lookup_stride,
                 )
             if cfg.pipeline == "deferred":
                 return passes.build_deferred_frame(
@@ -427,7 +428,7 @@ class Renderer:
                 c["matrices"], c["normal_mats"], c["inv_view_proj"] = staged
                 if pipeline == "lit":
                     color, depth = frame(
-                        b, self.texture.atlas_u32, c["matrices"],
+                        b, self.texture.quad_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         self.light_pos, self.light_color,
                     )
@@ -439,7 +440,7 @@ class Renderer:
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)
                     color, depth, self._shadow_map = frame(
-                        b, self.texture.atlas_u32, c["matrices"],
+                        b, self.texture.quad_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         light_matrices, light_vp, self.light_dir,
                         self.light_color,
@@ -741,13 +742,13 @@ class Renderer:
                     )
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.quad_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.quad_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         x["light_matrices"], x["light_vp"], self.light_dir,
                         self.light_color,

@@ -133,3 +133,80 @@ def sample_nearest_level(atlas, base_h: int, base_w: int, uv, level):
     ix = _wrap(jnp.floor(uv[..., 0] * lw.astype(jnp.float32)).astype(jnp.int32), lw)
     iy = _wrap(jnp.floor(uv[..., 1] * lh.astype(jnp.float32)).astype(jnp.int32), lh)
     return _gather_flat(atlas, iy * w2 + (ix + off_x))
+
+
+def build_quad_atlas(atlas_u32, base_h: int, base_w: int, num_levels: int):
+    """Precompute each texel's 2x2 wrap-correct neighborhood.
+
+    Returns (h, 2w, 4) u32: lanes = (c00, c10, c01, c11) — self, right,
+    down, diagonal, with WRAP handled per mip region at build time.  The
+    sampler then fetches all four bilinear taps with ONE row gather
+    (XLA gathers on TPU pay per INDEX, not per byte; the 4-gather bilinear
+    measured ~16 ms per full-screen tap set at 1080p — a trilinear
+    textured frame was 131 ms).  Built once at texture upload.
+    """
+    h, w2 = atlas_u32.shape
+    quad = jnp.zeros((h, w2, 4), jnp.uint32)
+    for level in range(num_levels):
+        lw = max(base_w >> level, 1)
+        lh = max(base_h >> level, 1)
+        off = 0 if level == 0 else 2 * base_w - max(base_w >> (level - 1), 1)
+        region = atlas_u32[0:lh, off:off + lw]
+        right = jnp.roll(region, -1, axis=1)
+        down = jnp.roll(region, -1, axis=0)
+        diag = jnp.roll(right, -1, axis=0)
+        q = jnp.stack([region, right, down, diag], axis=-1)
+        quad = quad.at[0:lh, off:off + lw].set(q)
+    return quad
+
+
+def _unpack_u32(texel):
+    inv255 = jnp.float32(1.0 / 255.0)
+    return jnp.stack(
+        [
+            (texel & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 8) & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 16) & 0xFF).astype(jnp.float32) * inv255,
+            ((texel >> 24) & 0xFF).astype(jnp.float32) * inv255,
+        ],
+        axis=-1,
+    )
+
+
+def sample_bilinear_level_quad(quad_atlas, base_h: int, base_w: int, uv,
+                               level, layer=None):
+    """Bilinear sample with ONE gather: all four taps ride a contiguous
+    (4,) u32 row of the precomputed quad atlas (build_quad_atlas).
+    Bit-identical to sample_bilinear_level on the same texels."""
+    lh, lw, off_x = _mip_geometry(base_h, base_w, level)
+    w2 = quad_atlas.shape[1]
+    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    row0 = 0 if layer is None else layer * jnp.int32(base_h)
+    ix = _wrap(x0, lw)
+    iy = _wrap(y0, lh) + row0
+    rows = jnp.take(quad_atlas.reshape(-1, 4), iy * w2 + (ix + off_x), axis=0)
+    c00 = _unpack_u32(rows[..., 0])
+    c10 = _unpack_u32(rows[..., 1])
+    c01 = _unpack_u32(rows[..., 2])
+    c11 = _unpack_u32(rows[..., 3])
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_trilinear_quad(quad_atlas, base_h: int, base_w: int,
+                          num_levels: int, uv, lod, layer=None):
+    """Trilinear via the quad atlas: TWO gathers total (vs eight)."""
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+    c0 = sample_bilinear_level_quad(quad_atlas, base_h, base_w, uv, l0,
+                                    layer=layer)
+    c1 = sample_bilinear_level_quad(quad_atlas, base_h, base_w, uv, l1,
+                                    layer=layer)
+    return c0 * (1 - f) + c1 * f

@@ -241,3 +241,46 @@ def tonemap_and_pack(rgb, covered, clear_rgb=(0.0, 0.0, 0.0)):
     c = jnp.clip(c, 0.0, 1.0)
     rgba = jnp.concatenate([c, jnp.ones_like(c[..., :1])], axis=-1)
     return jnp.floor(rgba * jnp.float32(255.0) + jnp.float32(0.5)).astype(jnp.uint8)
+
+
+def shadow_factor_pcf_strided(shadow_depth, world_pos, light_view_proj,
+                              stride: int = 1, normal=None, **kw):
+    """PCF shadow lookup at reduced screen resolution (perf knob).
+
+    ``stride=1`` is the exact per-pixel path.  ``stride=2`` evaluates the
+    PCF at every stride-th pixel (quartering the gather count — the
+    dominant cost of the shadow pass on TPU, where XLA gathers pay per
+    index) and bilinearly upsamples the lit fraction.  PCF is already a
+    spatial blur, so half-res lookup is visually equivalent away from
+    contact edges; the exactness contract stays with stride=1
+    (RenderConfig.shadow_lookup_stride default).
+    """
+    if stride == 1:
+        return shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
+                                 normal=normal, **kw)
+    h, w = world_pos.shape[:2]
+
+    def pool(x):
+        # 2x2 mean-pool by reshape+reduce: strided lane slicing (x[::2])
+        # relayouts expensively on TPU; the reduce is plain vector math.
+        extra = x.shape[2:]
+        return x.reshape(h // 2, 2, w // 2, 2, *extra).mean(axis=(1, 3))
+
+    sub = shadow_factor_pcf(
+        shadow_depth, pool(world_pos), light_view_proj,
+        normal=None if normal is None else pool(normal), **kw
+    )
+    # Bilinear upsample with pure vector ops (interleave + edge-clamped
+    # shifts) — jax.image.resize lowers to a gather, which costs more than
+    # the PCF gathers this knob saves.
+    assert stride == 2, "stride 1 or 2"
+    right = jnp.concatenate([sub[:, 1:], sub[:, -1:]], axis=1)
+    down = jnp.concatenate([sub[1:, :], sub[-1:, :]], axis=0)
+    diag = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
+    row_a = jnp.stack([sub, (sub + right) * 0.5], axis=-1).reshape(
+        sub.shape[0], -1)
+    row_b = jnp.stack([(sub + down) * 0.5,
+                       (sub + right + down + diag) * 0.25], axis=-1).reshape(
+        sub.shape[0], -1)
+    out = jnp.stack([row_a, row_b], axis=1).reshape(-1, row_a.shape[1])
+    return out[:h, :w]
