@@ -67,6 +67,11 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
                    layered: bool):
     """Vertex rgb x (tri)linear texture sample; with a texture array the
     per-pixel layer plane (from the G-buffer) picks the draw's texture."""
+    if th == 1 and tw == 1 and not layered:
+        # 1x1 texture (the default white binding): a single texel — no
+        # per-pixel gather at all, just a broadcast multiply.
+        texel = sampling._unpack_u32(tex_atlas_u32[0, 0, 0])
+        return (rgba[..., :3].astype(jnp.float32) / 255.0) * texel[:3]
     uv = jnp.stack([u, v], axis=-1)
     lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
     layer = tex_layer.astype(jnp.int32) if layered else None

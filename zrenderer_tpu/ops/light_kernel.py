@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 32
 TILE_W = 128
+LIGHT_UNROLL = 8  # light-loop unroll (amortizes ~120 ns/iter loop cost)
 
 # lights packed as (L, 8): x, y, z, r, g, b, 0, 0
 # light screen bounds packed as (L, 4) i32: jmin, jmax, imin, imax
@@ -188,8 +189,21 @@ def _tiled_light_kernel(counts_ref, lights_ref, list_ref, consts_ref,
 
         return lit(None)
 
+    # Unrolled by LIGHT_UNROLL (a Mosaic fori_loop iteration costs ~120 ns
+    # of loop machinery): rows beyond counts[tile] are zero-color padding
+    # (see the prepass), contributing exactly 0, so the loop rounds the
+    # trip count up to whole groups with no masking.
+    count = counts_ref[tile_idx]
+
+    def group(q, acc):
+        base = q * LIGHT_UNROLL
+        for u in range(LIGHT_UNROLL):
+            acc = body(base + u, acc)
+        return acc
+
+    groups = (count + LIGHT_UNROLL - 1) // LIGHT_UNROLL
     acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, counts_ref[tile_idx], body, (acc_r, acc_g, acc_b)
+        0, groups, group, (acc_r, acc_g, acc_b)
     )
     m = mask[...] > 0
     out_r[...] = jnp.where(m, acc_r, 0.0)
@@ -240,10 +254,19 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     hit = hit.reshape(ty * tx, num)
     counts = hit.sum(axis=1).astype(jnp.int32)
     order = jnp.argsort(~hit, axis=1, stable=True)  # hits first, id order
-    # Gather each tile's compacted light DATA (tiles, L, 8) — the kernel
-    # then has zero indirection: slot k of its block IS light k of its
-    # list.  ~0.5 MB at 256 lights/510 tiles, built once per frame in XLA.
+    # Gather each tile's compacted light DATA (tiles, Lpad, 8) — the
+    # kernel then has zero indirection: slot k of its block IS light k of
+    # its list.  Rows past counts[tile] are ZEROED (color 0 contributes
+    # exactly nothing) so the unrolled kernel loop can round trip counts
+    # up to whole LIGHT_UNROLL groups without masking.  ~0.5 MB at 256
+    # lights/510 tiles, built once per frame in XLA.
     tile_light_data = jnp.take(lights, order, axis=0)
+    live = jnp.arange(num, dtype=jnp.int32)[None, :] < counts[:, None]
+    tile_light_data = jnp.where(live[..., None], tile_light_data, 0.0)
+    num_pad = -(-num // LIGHT_UNROLL) * LIGHT_UNROLL
+    if num_pad != num:
+        tile_light_data = jnp.pad(
+            tile_light_data, ((0, 0), (0, num_pad - num), (0, 0)))
 
     consts = jnp.asarray(
         [[cam_pos[0], cam_pos[1], cam_pos[2], ambient, 0.0, 0.0, 0.0, 0.0]],
@@ -270,7 +293,8 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # lights (unused)
-                pl.BlockSpec((1, num, 8), lambda i, j, *_: (i * tx + j, 0, 0),
+                pl.BlockSpec((1, num_pad, 8),
+                             lambda i, j, *_: (i * tx + j, 0, 0),
                              memory_space=pltpu.VMEM),  # tile light data
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # consts
             ] + [tile_spec] * 12,
