@@ -37,23 +37,24 @@ def main() -> int:
     r.load_scene(scene, mesh_data)
     print(f"upload: {time.perf_counter() - t0:.2f}s")
 
+    # Honest device rate (bench.py methodology): N frames in ONE dispatch
+    # via render_animation, digest materialization as the true fence — a
+    # per-frame render/present loop measures host dispatch rate on the
+    # remote axon runtime (block_until_ready resolves at enqueue there).
+    frames = 10
     t0 = time.perf_counter()
-    r.render()
-    r.present()
-    print(f"compile + first frame: {time.perf_counter() - t0:.2f}s")
+    digests, (color, depth) = r.render_animation(num_frames=frames)
+    np.asarray(digests)
+    print(f"compile + first dispatch: {time.perf_counter() - t0:.2f}s")
 
+    best = float("inf")
     for _ in range(3):
-        r.render()
-        r.present()
-    frames = 20
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        r.render()
-        r.present()
-    r.finish_gpu_commands()  # drain the in-flight frame inside the window
-    dt = (time.perf_counter() - t0) / frames
-    img, depth = r.read_frame()
-    cov = (depth < 1.0).mean()
+        t0 = time.perf_counter()
+        digests, (color, depth) = r.render_animation(num_frames=frames)
+        np.asarray(digests)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / frames
+    cov = (np.asarray(depth[::8, ::8]) < 1.0).mean()
     n = r.flat.num_triangles
     print(
         f"steady: {dt * 1000:.2f} ms/frame = {1 / dt:.1f} FPS, "

@@ -118,8 +118,10 @@ def test_canonical_perm_restores_exact_setup_order():
     ti_full, tf_full = g.geometry_pipeline(
         np, verts, attrs, tri_vidx, matrices, node_ids, W, H
     )
-    per_slot = (ti_full[:, g.I_VALID] > 0).reshape(g.FAN_SLOTS, -1).sum(axis=1)
-    assert per_slot[1] > 0, "clipping must populate fan slot 1"
+    # Capped layout: [n_tris slot-0 rows][FAN_SLOTS * cap subset rows].
+    cap = g.clip_cap_for(n_tris)
+    fan_valid = (ti_full[n_tris:, g.I_VALID] > 0).reshape(g.FAN_SLOTS, cap)
+    assert fan_valid[1].sum() > 0, "clipping must populate fan slot 1"
 
     n_shards, ts = 4, n_tris // 4
     ti_parts, tf_parts = [], []

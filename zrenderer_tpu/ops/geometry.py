@@ -121,7 +121,8 @@ def transform_positions(xp, positions, matrices, node_ids):
     of the pixel-exactness contract, docs/RASTER_SPEC.md §5); on TPU these
     are VPU ops and XLA fuses them with the downstream clip math.
     """
-    m = matrices[node_ids]  # (N, 4, 4)
+    m = _expand_rows(xp, matrices.reshape(-1, 16), node_ids).reshape(
+        -1, 4, 4)  # (N, 4, 4)
     p0 = positions[:, 0:1]
     p1 = positions[:, 1:2]
     p2 = positions[:, 2:3]
@@ -132,11 +133,34 @@ def transform_positions(xp, positions, matrices, node_ids):
     return out.astype(xp.float32)
 
 
+def _expand_rows(xp, table, ids, max_onehot: int = 64):
+    """``table[ids]`` without a per-element gather on TPU when the table is
+    small: a row gather of (N,) indices measured ~0.5 s at 2M vertices
+    (per-INDEX gather cost), while a one-hot f32 matmul at HIGHEST
+    precision is exact — each output row sums one 1.0*row plus zeros, and
+    the bf16x3 split reassembles f32 bit-exactly — and runs on the MXU in
+    ~1 ms.  Falls back to the gather for large tables (one-hot memory is
+    N x M) and for the NumPy oracle path.
+    """
+    m_rows = table.shape[0]
+    if xp is np or m_rows > max_onehot:
+        return table[ids]
+    import jax
+
+    onehot = (ids[:, None] == xp.arange(m_rows, dtype=ids.dtype)[None, :])
+    return jax.lax.dot_general(
+        onehot.astype(xp.float32), table.astype(xp.float32),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def transform_normals(xp, attrs, normal_matrices, node_ids):
     """Rotate per-vertex normals (attrs channels 6:9) into world space by
     the per-draw inverse-transpose rotation (row-vector: n' = n @ NM).
     Same explicit association + barriers as transform_positions."""
-    nm = normal_matrices[node_ids]  # (N, 3, 3)
+    nm = _expand_rows(xp, normal_matrices.reshape(-1, 9), node_ids).reshape(
+        -1, 3, 3)  # (N, 3, 3)
     n = attrs[:, 6:9]
     n0 = n[:, 0:1]
     n1 = n[:, 1:2]
@@ -275,6 +299,92 @@ def clip_triangles(xp, tris, width: int, height: int):
     return fan, fan_valid
 
 
+CLIP_CAP_MIN = 1024
+
+
+def clip_cap_for(num_tris: int) -> int:
+    """Subset capacity for capped clipping: enough for every realistic
+    scene (triangles crossing the near plane / guard band are a thin
+    silhouette around the frustum boundary), scaling with scene size."""
+    return min(num_tris, max(CLIP_CAP_MIN, num_tris // 64))
+
+
+def capped_rows(num_tris: int) -> int:
+    """Total setup rows of the capped layout for T input triangles."""
+    return num_tris + FAN_SLOTS * clip_cap_for(num_tris)
+
+
+def head_count(total_rows: int) -> int:
+    """Invert capped_rows (it is strictly increasing in T)."""
+    lo, hi = 1, total_rows
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if capped_rows(mid) < total_rows:
+            lo = mid + 1
+        else:
+            hi = mid
+    assert capped_rows(lo) == total_rows, (total_rows, lo)
+    return lo
+
+
+def clip_triangles_capped(xp, tris, width: int, height: int, cap: int):
+    """Slot-0-for-everyone + capped-subset clipping.
+
+    The dense Sutherland-Hodgman path (clip_triangles) pays 2 gathers + 2
+    scatters over (T, 8, A) PER PLANE — measured 10.5 s/frame at 1M
+    triangles on TPU — for clipping that touches a fraction of a percent
+    of triangles.  Here every triangle gets ONE slot holding the original
+    (valid unless it crosses a clip plane), and only a top-k subset of
+    crossing triangles (capacity ``cap``) runs the real clipper.
+
+    Layout: rows [0, T) = slot 0; rows [T, T + FAN_SLOTS*cap) = the
+    subset's fan, slot-major over the subset (ascending input order inside
+    each slot).  Returns (fan, valid, subset_idx (cap,) int32).
+    Triangles fully outside one plane are culled outright.  If more than
+    ``cap`` triangles cross planes, the overflow is DROPPED (a documented
+    capacity knob, like every real renderer's clip buffer).
+    """
+    T = tris.shape[0]
+    gx = xp.float32(1.0 + 2.0 * guard_px(width) / float(width))
+    gy = xp.float32(1.0 + 2.0 * guard_px(height) / float(height))
+
+    crossing = xp.zeros(T, bool)
+    fully_out = xp.zeros(T, bool)
+    for plane in range(5):
+        dk = _plane_distance(xp, tris, plane, gx, gy)  # (T, 3)
+        neg = dk < 0
+        any_neg = neg.any(axis=1)
+        all_neg = neg.all(axis=1)
+        fully_out = fully_out | all_neg
+        crossing = crossing | (any_neg & ~all_neg)
+    needs = crossing & ~fully_out
+    slot0_valid = ~(crossing | fully_out)
+
+    if xp is np:
+        sel = np.nonzero(needs)[0].astype(np.int32)
+        k = min(cap, len(sel))
+        idx = np.zeros(cap, np.int32)
+        idx[:k] = sel[:k]
+        live = np.zeros(cap, bool)
+        live[:k] = True
+    else:
+        import jax
+
+        key = xp.where(
+            needs, T - xp.arange(T, dtype=xp.int32), xp.int32(0)
+        )
+        kv, idx = jax.lax.top_k(key, cap)  # descending key = ascending tri
+        live = kv > 0
+        idx = idx.astype(xp.int32)
+
+    sub = tris[idx]  # (cap, 3, A) — a cap-sized gather, not a T-sized one
+    fan_s, valid_s = clip_triangles(xp, sub, width, height)
+    valid_s = valid_s & xp.tile(live, FAN_SLOTS)
+    fan = xp.concatenate([tris, fan_s], axis=0)
+    valid = xp.concatenate([slot0_valid, valid_s], axis=0)
+    return fan, valid, idx
+
+
 # ---------------------------------------------------------------------------
 # Snap + triangle setup (RASTER_SPEC.md §1.4-§3)
 # ---------------------------------------------------------------------------
@@ -403,12 +513,27 @@ def setup_triangles(xp, tris, valid, width: int, height: int,
         ],
         axis=1,
     ).astype(f32)
+
+    # Neutralize dead rows (culled / padding / unused clip-subset slots) to
+    # a canonical sentinel: empty bbox, zero payload.  Their data is never
+    # consumed (coverage is gated on bbox + valid), but deterministic
+    # content keeps the bit-exact contracts simple — np and jnp select
+    # different garbage for unused capped-clip slots (np zero-fills,
+    # top_k's zero-key ties gather arbitrary rows), and sharded gathers
+    # must compare bit-equal to single-device buffers.
+    sentinel = np.zeros(NI32, np.int32)
+    sentinel[I_JMIN] = 1
+    sentinel[I_IMIN] = 1
+    mask = alive[:, None]
+    tri_i32 = xp.where(mask, tri_i32, xp.asarray(sentinel, dtype=i32))
+    tri_f32 = xp.where(mask, tri_f32, f32(0.0))
     return tri_i32, tri_f32
 
 
 def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
                       width: int, height: int, normal_matrices=None,
-                      material_table=None, vertex_shader=None):
+                      material_table=None, vertex_shader=None,
+                      clip_cap="auto"):
     """Full shared geometry stage: transform, assemble, clip, setup.
 
     ``normal_matrices`` (optional, (M, 3, 3)): per-draw inverse-transpose
@@ -423,7 +548,12 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     vertex-stage capability (the reference's platform compiles arbitrary
     vertex shaders into PSOs, zd3d12.zig:904-1046; the demo's uber.hlsl is
     one instance).  Runs on device inside the jitted frame.
-    Returns (tri_i32, tri_f32) of static shape (FAN_SLOTS * T, ...).
+    Returns (tri_i32, tri_f32).  With the default capped clipping
+    (``clip_cap="auto"``) the static row count is ``capped_rows(T)`` =
+    T slot-0 rows (one per input triangle, in submission order) followed
+    by FAN_SLOTS * clip_cap_for(T) subset-fan rows (slot-major over the
+    clip subset); ``clip_cap=None`` selects the legacy dense slot-major
+    (FAN_SLOTS * T) layout.
     """
     if vertex_shader is not None:
         positions, attrs = vertex_shader(positions, attrs)
@@ -431,7 +561,18 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     if normal_matrices is not None:
         attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
     tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
-    fan, fan_valid = clip_triangles(xp, tris, width, height)
+    subset_idx = None
+    if clip_cap is None:
+        # Legacy dense layout: FAN_SLOTS slots for every triangle,
+        # slot-major.  Kept for reference/tests; the capped layout below
+        # is the production path.
+        fan, fan_valid = clip_triangles(xp, tris, width, height)
+    else:
+        t = tri_vidx.shape[0]
+        cap = clip_cap_for(t) if clip_cap == "auto" else min(clip_cap, t)
+        fan, fan_valid, subset_idx = clip_triangles_capped(
+            xp, tris, width, height, cap
+        )
     const_cols = None
     if material_table is not None:
         if material_table.shape[0] == tri_vidx.shape[0]:
@@ -443,8 +584,14 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
         else:
             tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
             per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
-        # Fan slots are slot-major: slot j of every input triangle first.
-        const_cols = xp.tile(per_tri, (FAN_SLOTS, 1))
+        if subset_idx is None:
+            # Fan slots are slot-major: slot j of every triangle first.
+            const_cols = xp.tile(per_tri, (FAN_SLOTS, 1))
+        else:
+            const_cols = xp.concatenate(
+                [per_tri, xp.tile(per_tri[subset_idx], (FAN_SLOTS, 1))],
+                axis=0,
+            )
     return setup_triangles(xp, fan, fan_valid, width, height,
                            const_cols=const_cols)
 

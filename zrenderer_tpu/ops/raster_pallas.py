@@ -42,6 +42,84 @@ TILE_W = 128
 # by this factor.  Must divide g.RASTER_BLOCK.
 TRI_UNROLL = 8
 
+# While tracing an interpret-mode kernel (CPU tests / config.debug), the
+# unrolled group-branched loops below collapse to plain per-item loops:
+# the Pallas HLO interpreter discharges each nested pl.when cond by
+# re-tracing its subjaxpr, so the 8x8x8 super/block/triangle unrolling
+# that buys 2-5x on Mosaic makes CPU lowering effectively hang (>10 min
+# for one 128x64 frame, measured).  Compiled TPU kernels are unaffected.
+_UNROLL_OVERRIDE = None
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _interpret_unroll(interpret: bool):
+    global _UNROLL_OVERRIDE
+    prev = _UNROLL_OVERRIDE
+    _UNROLL_OVERRIDE = 1 if interpret else prev
+    try:
+        yield
+    finally:
+        _UNROLL_OVERRIDE = prev
+
+
+def _tri_unroll() -> int:
+    return _UNROLL_OVERRIDE or TRI_UNROLL
+
+
+def _pallas_call(*args, interpret: bool = False, **kw):
+    """pl.pallas_call wrapper that traces the kernel under the interpret
+    unroll override (see _UNROLL_OVERRIDE).  Drop-in: the kernel jaxpr is
+    built when the returned callable runs, inside the context."""
+
+    def run(*operands):
+        with _interpret_unroll(interpret):
+            return pl.pallas_call(*args, interpret=interpret, **kw)(*operands)
+
+    return run
+
+
+def _scan_groups(start, end, hit_of, visit, unroll: int | None = None):
+    """Unrolled any-hit scan over [start, end): advance ``unroll`` items
+    per fori_loop iteration, branch once on "any hit in the group", then
+    branch per hit item inside.  Amortizes the ~120 ns/iteration loop cost
+    over mostly-miss scans (superblock/block bbox tables).  A scalar tail
+    loop covers the remainder; bounds may be traced scalars."""
+    unroll = unroll or _tri_unroll()
+
+    def group(q, c):
+        base = start + q * unroll
+        hits = [hit_of(base + u) for u in range(unroll)]
+        any_hit = hits[0]
+        for hb in hits[1:]:
+            any_hit = any_hit | hb
+
+        @pl.when(any_hit)
+        def _():
+            for u in range(unroll):
+                @pl.when(hits[u])
+                def _(u=u):
+                    visit(base + u)
+
+        return c
+
+    def single(i, c):
+        @pl.when(hit_of(i))
+        def _():
+            visit(i)
+
+        return c
+
+    if unroll == 1:
+        jax.lax.fori_loop(start, end, single, 0)
+        return
+
+    groups = (end - start) // unroll
+    jax.lax.fori_loop(0, groups, group, 0)
+    jax.lax.fori_loop(start + groups * unroll, end, single, 0)
+
 
 def _raster_kernel(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
                    zbuf, nr, ng, nb, den):
@@ -116,68 +194,62 @@ def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
             & (imin <= imax)
         )
 
-    def super_body(sb, carry):
+    def super_hit(sb):
         # Level-1 binning: one bbox test skips SUPER_BLOCK*RASTER_BLOCK
         # (4096) triangles — what keeps million-triangle scenes from paying
         # per-block header costs on every tile.
-        s_overlap = tile_overlap(
+        return tile_overlap(
             sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
         )
 
-        @pl.when(s_overlap)
-        def _():
-            jax.lax.fori_loop(
-                sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK, block_body, 0
-            )
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
 
-        return carry
-
-    def block_body(bk, carry):
+    def block_hit(bk):
         # Level-0 binning: skip a whole block of RASTER_BLOCK triangles when
-        # its union bbox misses this tile (compaction packs live triangles
-        # into the leading blocks, so dead-tail blocks cost 4 scalar loads).
-        b_overlap = tile_overlap(
+        # its union bbox misses this tile.
+        return tile_overlap(
             blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
         )
 
-        @pl.when(b_overlap)
-        def _():
-            # UNROLLED triangle loop with GROUP-level branching: a Mosaic
-            # fori_loop iteration costs ~120-140 ns of loop machinery and a
-            # pl.when ~55 ns even when false (measured; scalar reads are
-            # ~1.5 ns) — so the loop advances TRI_UNROLL triangles per
-            # iteration, takes ONE branch on "any of the group's bboxes
-            # touch this tile", and evaluates the whole group
-            # unconditionally with each triangle's bbox bit folded into
-            # its write mask (a dead/missed triangle writes nothing).
-            def unrolled(q, c2):
-                base = q * TRI_UNROLL
-                hits = [
-                    tile_overlap(
-                        ti_ref[base + u, g.I_JMIN],
-                        ti_ref[base + u, g.I_JMAX],
-                        ti_ref[base + u, g.I_IMIN],
-                        ti_ref[base + u, g.I_IMAX],
-                    )
-                    for u in range(TRI_UNROLL)
-                ]
-                any_hit = hits[0]
-                for hb in hits[1:]:
-                    any_hit = any_hit | hb
+    def visit_block(bk):
+        # UNROLLED triangle loop with GROUP-level branching: a Mosaic
+        # fori_loop iteration costs ~120-140 ns of loop machinery and a
+        # pl.when ~55 ns even when false (measured; scalar reads are
+        # ~1.5 ns) — so the loop advances TRI_UNROLL triangles per
+        # iteration, takes ONE branch on "any of the group's bboxes touch
+        # this tile", and evaluates the whole group unconditionally with
+        # each triangle's bbox bit folded into its write mask (a
+        # dead/missed triangle writes nothing).
+        tu = _tri_unroll()
 
-                @pl.when(any_hit)
-                def _():
-                    for u in range(TRI_UNROLL):
-                        body(base + u, hits[u])
+        def unrolled(q, c2):
+            base = q * tu
+            hits = [
+                tile_overlap(
+                    ti_ref[base + u, g.I_JMIN],
+                    ti_ref[base + u, g.I_JMAX],
+                    ti_ref[base + u, g.I_IMIN],
+                    ti_ref[base + u, g.I_IMAX],
+                )
+                for u in range(tu)
+            ]
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
 
-                return c2
+            @pl.when(any_hit)
+            def _():
+                for u in range(tu):
+                    body(base + u, hits[u])
 
-            jax.lax.fori_loop(
-                bk * (g.RASTER_BLOCK // TRI_UNROLL),
-                (bk + 1) * (g.RASTER_BLOCK // TRI_UNROLL), unrolled, 0
-            )
+            return c2
 
-        return carry
+        jax.lax.fori_loop(
+            bk * (g.RASTER_BLOCK // tu),
+            (bk + 1) * (g.RASTER_BLOCK // tu), unrolled, 0
+        )
 
     def body(t, overlap):
         x0 = ti_ref[t, g.I_X0]
@@ -252,7 +324,7 @@ def _kernel_body(sup_ref, blk_ref, ti_ref, tf_ref, color_ref, depth_ref,
             ):
                 buf[...] = jnp.where(ok, tf_ref[t, col], buf[...])
 
-    jax.lax.fori_loop(0, num_supers, super_body, 0)
+    _scan_groups(0, num_supers, super_hit, visit_super)
 
     # Resolve: one perspective divide per pixel, pack RGBA8 into a u32 lane.
     d = den[...]
@@ -309,9 +381,14 @@ def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
 # the ~16 MB of VMEM as whole-array inputs).
 VMEM_RESIDENT_MAX_TRIS = 32768
 
-# 1D HBM DMA slices must align to the 1024-element tile; pad the int record
-# stride so a RASTER_BLOCK slab (128 * stride) is 1024-aligned.
-I32_STRIDE_HBM = 24  # NI32=20 padded; 128*24 = 3072 = 3*1024
+# HBM DMA row-slices must span full 128-lane rows, so triangle records are
+# PACKED into 128-lane rows: 4 int records x 32 lanes, 2 float records x
+# 64 lanes.  The block DMA is then a legal 2D row-slice straight into VMEM
+# scratch, whose scalar reads cost ~1.5 ns (the previous 1D-flatten-into-
+# SMEM layout paid ~1-2 us of SMEM scalar reads PER TRIANGLE — the reason
+# the 1M-triangle frame measured ~11 s).
+I32_LANES = 32   # NI32=20 padded to 32 lanes; 4 records per (.,128) row
+F32_LANES = 64   # NF32=40 padded to 64 lanes; 2 records per (.,128) row
 
 
 def _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
@@ -354,51 +431,56 @@ def _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
             & (imin <= imax)
         )
 
-    def tri_body(t, overlap):
-        ib = t * I32_STRIDE_HBM  # flattened base into the SMEM int slab
-        fb = t * g.NF32
+    def tri_body(base4, u, overlap):
+        # Packed-row indexing (see I32_LANES): u is a PYTHON int from the
+        # unrolled loop, so the lane bases are static; only the row index
+        # is dynamic (sublane dim — the supported one).
+        ir = base4 + u // 4
+        il = (u % 4) * I32_LANES
+        fr2 = 2 * base4 + u // 2
+        fl = (u % 2) * F32_LANES
         if True:  # overlap folds into the write mask below
-            e0 = ti_buf[ib + g.I_DX0] * (py - ti_buf[ib + g.I_Y1]) - \
-                 ti_buf[ib + g.I_DY0] * (px - ti_buf[ib + g.I_X1])
-            e1 = ti_buf[ib + g.I_DX1] * (py - ti_buf[ib + g.I_Y2]) - \
-                 ti_buf[ib + g.I_DY1] * (px - ti_buf[ib + g.I_X2])
-            e2 = ti_buf[ib + g.I_DX2] * (py - ti_buf[ib + g.I_Y0]) - \
-                 ti_buf[ib + g.I_DY2] * (px - ti_buf[ib + g.I_X0])
+            e0 = ti_buf[ir, il + g.I_DX0] * (py - ti_buf[ir, il + g.I_Y1]) - \
+                 ti_buf[ir, il + g.I_DY0] * (px - ti_buf[ir, il + g.I_X1])
+            e1 = ti_buf[ir, il + g.I_DX1] * (py - ti_buf[ir, il + g.I_Y2]) - \
+                 ti_buf[ir, il + g.I_DY1] * (px - ti_buf[ir, il + g.I_X2])
+            e2 = ti_buf[ir, il + g.I_DX2] * (py - ti_buf[ir, il + g.I_Y0]) - \
+                 ti_buf[ir, il + g.I_DY2] * (px - ti_buf[ir, il + g.I_X0])
             cov = (
-                (e0 >= ti_buf[ib + g.I_BIAS0])
-                & (e1 >= ti_buf[ib + g.I_BIAS1])
-                & (e2 >= ti_buf[ib + g.I_BIAS2])
+                (e0 >= ti_buf[ir, il + g.I_BIAS0])
+                & (e1 >= ti_buf[ir, il + g.I_BIAS1])
+                & (e2 >= ti_buf[ir, il + g.I_BIAS2])
             )
             ef0 = e0.astype(jnp.float32)
             ef1 = e1.astype(jnp.float32)
             ef2 = e2.astype(jnp.float32)
-            z = ef0 * tf_buf[fb + g.F_ZA0] + ef1 * tf_buf[fb + g.F_ZA1] \
-                + ef2 * tf_buf[fb + g.F_ZA2]
+            z = ef0 * tf_buf[fr2, fl + g.F_ZA0] + ef1 * tf_buf[fr2, fl + g.F_ZA1] \
+                + ef2 * tf_buf[fr2, fl + g.F_ZA2]
             zb = zbuf[...]
             ok = cov & (z >= 0.0) & (z < zb) & overlap
             zbuf[...] = jnp.where(ok, z, zb)
             den[...] = jnp.where(
                 ok,
-                ef0 * tf_buf[fb + g.F_RW0] + ef1 * tf_buf[fb + g.F_RW1]
-                + ef2 * tf_buf[fb + g.F_RW2],
+                ef0 * tf_buf[fr2, fl + g.F_RW0] + ef1 * tf_buf[fr2, fl + g.F_RW1]
+                + ef2 * tf_buf[fr2, fl + g.F_RW2],
                 den[...],
             )
             nr[...] = jnp.where(
                 ok,
-                ef0 * tf_buf[fb + g.F_CR0] + ef1 * tf_buf[fb + g.F_CR1]
-                + ef2 * tf_buf[fb + g.F_CR2],
+                ef0 * tf_buf[fr2, fl + g.F_CR0] + ef1 * tf_buf[fr2, fl + g.F_CR1]
+                + ef2 * tf_buf[fr2, fl + g.F_CR2],
                 nr[...],
             )
             ng[...] = jnp.where(
                 ok,
-                ef0 * tf_buf[fb + g.F_CG0] + ef1 * tf_buf[fb + g.F_CG1]
-                + ef2 * tf_buf[fb + g.F_CG2],
+                ef0 * tf_buf[fr2, fl + g.F_CG0] + ef1 * tf_buf[fr2, fl + g.F_CG1]
+                + ef2 * tf_buf[fr2, fl + g.F_CG2],
                 ng[...],
             )
             nb[...] = jnp.where(
                 ok,
-                ef0 * tf_buf[fb + g.F_CB0] + ef1 * tf_buf[fb + g.F_CB1]
-                + ef2 * tf_buf[fb + g.F_CB2],
+                ef0 * tf_buf[fr2, fl + g.F_CB0] + ef1 * tf_buf[fr2, fl + g.F_CB1]
+                + ef2 * tf_buf[fr2, fl + g.F_CB2],
                 nb[...],
             )
             if gbuf_scratch is not None:
@@ -408,8 +490,8 @@ def _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
                 ):
                     buf[...] = jnp.where(
                         ok,
-                        ef0 * tf_buf[fb + c0] + ef1 * tf_buf[fb + c0 + 1]
-                        + ef2 * tf_buf[fb + c0 + 2],
+                        ef0 * tf_buf[fr2, fl + c0] + ef1 * tf_buf[fr2, fl + c0 + 1]
+                        + ef2 * tf_buf[fr2, fl + c0 + 2],
                         buf[...],
                     )
             if const_scratch is not None:
@@ -417,70 +499,65 @@ def _hbm_kernel_body(sup_ref, blk_ref, ti_hbm, tf_hbm, color_ref, depth_ref,
                     const_scratch,
                     (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX),
                 ):
-                    buf[...] = jnp.where(ok, tf_buf[fb + col], buf[...])
+                    buf[...] = jnp.where(ok, tf_buf[fr2, fl + col], buf[...])
 
-    def block_body(bk, carry):
-        b_overlap = tile_overlap(
+    def block_hit(bk):
+        return tile_overlap(
             blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
         )
 
-        @pl.when(b_overlap)
-        def _():
-            t0 = bk * g.RASTER_BLOCK
-            cp_i = pltpu.make_async_copy(
-                ti_hbm.at[pl.ds(t0 * I32_STRIDE_HBM,
-                                g.RASTER_BLOCK * I32_STRIDE_HBM)],
-                ti_buf, dma_sems.at[0],
-            )
-            cp_f = pltpu.make_async_copy(
-                tf_hbm.at[pl.ds(t0 * g.NF32, g.RASTER_BLOCK * g.NF32)],
-                tf_buf, dma_sems.at[1],
-            )
-            cp_i.start()
-            cp_f.start()
-            cp_i.wait()
-            cp_f.wait()
+    def visit_block(bk):
+        # 2D row-slice DMAs of the packed triangle rows into VMEM scratch.
+        rows_i = g.RASTER_BLOCK // 4
+        rows_f = g.RASTER_BLOCK // 2
+        cp_i = pltpu.make_async_copy(
+            ti_hbm.at[pl.ds(bk * rows_i, rows_i), :], ti_buf, dma_sems.at[0],
+        )
+        cp_f = pltpu.make_async_copy(
+            tf_hbm.at[pl.ds(bk * rows_f, rows_f), :], tf_buf, dma_sems.at[1],
+        )
+        cp_i.start()
+        cp_f.start()
+        cp_i.wait()
+        cp_f.wait()
 
-            # Group-branched unrolled loop (see _kernel_body): one branch
-            # per TRI_UNROLL triangles, bbox bit folded into each write.
-            def unrolled(q, c2):
-                base = q * TRI_UNROLL
-                hits = []
+        # Group-branched unrolled loop (see _kernel_body): one branch
+        # per TRI_UNROLL triangles, bbox bit folded into each write.
+        # base4 = VMEM int-row of the group's first record (u//4 offsets
+        # within the group are static, see tri_body).
+        def unrolled(q, c2):
+            base4 = q * (TRI_UNROLL // 4)
+            hits = []
+            for u in range(TRI_UNROLL):
+                ir = base4 + u // 4
+                il = (u % 4) * I32_LANES
+                hits.append(tile_overlap(
+                    ti_buf[ir, il + g.I_JMIN], ti_buf[ir, il + g.I_JMAX],
+                    ti_buf[ir, il + g.I_IMIN], ti_buf[ir, il + g.I_IMAX],
+                ))
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
+
+            @pl.when(any_hit)
+            def _():
                 for u in range(TRI_UNROLL):
-                    ibu = (base + u) * I32_STRIDE_HBM
-                    hits.append(tile_overlap(
-                        ti_buf[ibu + g.I_JMIN], ti_buf[ibu + g.I_JMAX],
-                        ti_buf[ibu + g.I_IMIN], ti_buf[ibu + g.I_IMAX],
-                    ))
-                any_hit = hits[0]
-                for hb in hits[1:]:
-                    any_hit = any_hit | hb
+                    tri_body(base4, u, hits[u])
 
-                @pl.when(any_hit)
-                def _():
-                    for u in range(TRI_UNROLL):
-                        tri_body(base + u, hits[u])
+            return c2
 
-                return c2
+        jax.lax.fori_loop(0, g.RASTER_BLOCK // TRI_UNROLL, unrolled, 0)
 
-            jax.lax.fori_loop(0, g.RASTER_BLOCK // TRI_UNROLL, unrolled, 0)
-
-        return carry
-
-    def super_body(sb, carry):
-        s_overlap = tile_overlap(
+    def super_hit(sb):
+        return tile_overlap(
             sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
         )
 
-        @pl.when(s_overlap)
-        def _():
-            jax.lax.fori_loop(
-                sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK, block_body, 0
-            )
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
 
-        return carry
-
-    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, 0)
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
 
     d = den[...]
     covered = d > 0
@@ -533,16 +610,18 @@ def _hbm_gbuffer_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm,
 
 
 def _hbm_flat_inputs(tri_i32, tri_f32):
-    """Flatten setup arrays to the 1024-aligned 1D layout HBM DMA needs."""
-    return (
-        jnp.pad(tri_i32, ((0, 0), (0, I32_STRIDE_HBM - g.NI32))).reshape(-1),
-        tri_f32.reshape(-1),
-    )
+    """Pack setup records into full 128-lane rows (4 int records x
+    I32_LANES, 2 float records x F32_LANES) so block DMAs are legal 2D
+    row-slices and in-kernel reads are fast VMEM scalars."""
+    t = tri_i32.shape[0]
+    ti = jnp.pad(tri_i32, ((0, 0), (0, I32_LANES - g.NI32)))
+    tf = jnp.pad(tri_f32, ((0, 0), (0, F32_LANES - g.NF32)))
+    return ti.reshape(t // 4, 4 * I32_LANES), tf.reshape(t // 2, 2 * F32_LANES)
 
 
 _HBM_SLABS = [
-    pltpu.SMEM((g.RASTER_BLOCK * I32_STRIDE_HBM,), jnp.int32),
-    pltpu.SMEM((g.RASTER_BLOCK * g.NF32,), jnp.float32),
+    pltpu.VMEM((g.RASTER_BLOCK // 4, 128), jnp.int32),
+    pltpu.VMEM((g.RASTER_BLOCK // 2, 128), jnp.float32),
     pltpu.SemaphoreType.DMA((2,)),
 ]
 
@@ -556,7 +635,7 @@ def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
         tri_i32, tri_f32, compact=compact
     )
 
-    color, depth = pl.pallas_call(
+    color, depth = _pallas_call(
         _hbm_kernel,
         grid=grid,
         in_specs=[
@@ -597,7 +676,7 @@ def rasterize_gbuffer_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
     plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         _hbm_gbuffer_kernel,
         grid=grid,
         in_specs=[
@@ -633,7 +712,7 @@ def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
         tri_i32, tri_f32, compact=compact
     )
 
-    color, depth = pl.pallas_call(
+    color, depth = _pallas_call(
         _raster_kernel,
         grid=grid,
         in_specs=[
@@ -682,7 +761,7 @@ def rasterize_setup_pallas_band(tri_i32, tri_f32, width: int, band_h: int,
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
     supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(tri_i32, tri_f32)
 
-    color, depth = pl.pallas_call(
+    color, depth = _pallas_call(
         _band_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -727,7 +806,7 @@ def rasterize_gbuffer_pallas(tri_i32, tri_f32, width: int, height: int,
     )
 
     plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         _gbuffer_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
@@ -803,7 +882,7 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int):
     tiles_y = height // TILE_H
     num_tiles = tiles_x * tiles_y
 
-    n_input = tri_i32.shape[0] // g.FAN_SLOTS  # slot-0 rows = input tris
+    n_input = g.head_count(tri_i32.shape[0])  # leading slot-0 rows
     t = tri_i32.shape[0]
     pad = (-t) % g.RASTER_BLOCK
     if pad:
@@ -934,16 +1013,16 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
     # Unrolled main span + scalar tail (see TRI_UNROLL): whole K-groups
     # first, then the < K remainder one at a time.
     n = end - start
+    tu = _tri_unroll()
 
     def list_unrolled(q, c2):
-        base = start + q * TRI_UNROLL
-        for u in range(TRI_UNROLL):
+        base = start + q * tu
+        for u in range(tu):
             list_body(base + u, 0)
         return c2
 
-    jax.lax.fori_loop(0, n // TRI_UNROLL, list_unrolled, 0)
-    jax.lax.fori_loop(start + (n // TRI_UNROLL) * TRI_UNROLL, end,
-                      list_body, 0)
+    jax.lax.fori_loop(0, n // tu, list_unrolled, 0)
+    jax.lax.fori_loop(start + (n // tu) * tu, end, list_body, 0)
 
     # Phase 2: leftovers (clipped fans, window-exceeding triangles) through
     # the block/superblock hierarchy.
@@ -957,54 +1036,47 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
             & (imin <= imax)
         )
 
-    def block_body(bk, carry):
-        b_overlap = tile_overlap(
+    def block_hit(bk):
+        return tile_overlap(
             blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
         )
 
-        @pl.when(b_overlap)
-        def _():
-            # Group-branched unrolled loop (see _kernel_body).
-            def unrolled(q, c2):
-                base = bk * g.RASTER_BLOCK + q * TRI_UNROLL
-                hits = [
-                    tile_overlap(
-                        ti_ref[base + u, g.I_JMIN],
-                        ti_ref[base + u, g.I_JMAX],
-                        ti_ref[base + u, g.I_IMIN],
-                        ti_ref[base + u, g.I_IMAX],
-                    )
-                    for u in range(TRI_UNROLL)
-                ]
-                any_hit = hits[0]
-                for hb in hits[1:]:
-                    any_hit = any_hit | hb
+    def visit_block(bk):
+        # Group-branched unrolled loop (see _kernel_body).
+        def unrolled(q, c2):
+            base = bk * g.RASTER_BLOCK + q * tu
+            hits = [
+                tile_overlap(
+                    ti_ref[base + u, g.I_JMIN],
+                    ti_ref[base + u, g.I_JMAX],
+                    ti_ref[base + u, g.I_IMIN],
+                    ti_ref[base + u, g.I_IMAX],
+                )
+                for u in range(tu)
+            ]
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
 
-                @pl.when(any_hit)
-                def _():
-                    for u in range(TRI_UNROLL):
-                        eval_triangle(base + u, hits[u])
+            @pl.when(any_hit)
+            def _():
+                for u in range(tu):
+                    eval_triangle(base + u, hits[u])
 
-                return c2
+            return c2
 
-            jax.lax.fori_loop(0, g.RASTER_BLOCK // TRI_UNROLL, unrolled, 0)
+        jax.lax.fori_loop(0, g.RASTER_BLOCK // tu, unrolled, 0)
 
-        return carry
-
-    def super_body(sb, carry):
-        s_overlap = tile_overlap(
+    def super_hit(sb):
+        return tile_overlap(
             sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
         )
 
-        @pl.when(s_overlap)
-        def _():
-            jax.lax.fori_loop(
-                sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK, block_body, 0
-            )
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
 
-        return carry
-
-    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, 0)
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
 
     # Resolve (identical to _kernel_body's epilogue).
     d = den[...]
@@ -1042,7 +1114,7 @@ def rasterize_setup_pallas_binned(tri_i32, tri_f32, width: int, height: int,
 
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM)
-    color, depth = pl.pallas_call(
+    color, depth = _pallas_call(
         _binned_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # offsets -> SMEM

@@ -33,29 +33,40 @@ GEOM_AXIS = "geom"
 
 
 def canonical_order_perm(n_shards: int, shard_tris: int) -> "jnp.ndarray":
-    """Static permutation restoring the single-device triangle order after
-    a tiled all_gather of per-shard setup buffers.
+    """Static permutation restoring the canonical triangle order after a
+    tiled all_gather of per-shard setup buffers.
 
-    Single-device canonical order is fan-slot-major over ALL input
-    triangles (slot j of every triangle, then slot j+1 — ops/geometry.py
-    clip_triangles); a gather of per-shard outputs is per-SHARD-major
-    (shard 0's slots, then shard 1's).  The two differ whenever clipping
-    populates fan slots >= 1, which changes depth-tie resolution across
-    shard boundaries.  The permutation depends only on static shapes, so
-    reordering is one constant-index gather — no sort, no collective.
-    canonical row (j, t) with t = s * shard_tris + i maps to gathered row
-    s * (FAN_SLOTS * shard_tris) + j * shard_tris + i.
+    With the capped clip layout (ops/geometry.py geometry_pipeline), each
+    shard produces [shard_tris slot-0 rows][FAN_SLOTS * cap subset-fan
+    rows, slot-major].  The canonical processing order is: every shard's
+    slot-0 rows in shard order (== global submission order, shards are
+    contiguous ranges), then the subset fans arranged SLOT-major across
+    shards (slot j of shard 0's subset, slot j of shard 1's, ...) — the
+    live fan triangles then appear in exactly the single-device capped
+    order (ascending input id within each slot), so depth ties resolve
+    identically to one chip.  Static shapes only — one constant-index
+    gather, no sort, no collective.
     """
     import numpy as _np
 
+    cap = g.clip_cap_for(shard_tris)
+    shard_rows = shard_tris + g.FAN_SLOTS * cap
     total = n_shards * shard_tris
-    c = _np.arange(g.FAN_SLOTS * total)
-    j = c // total
-    r = c % total
-    s = r // shard_tris
-    i = r % shard_tris
+
+    heads = _np.arange(total)
+    s = heads // shard_tris
+    i = heads % shard_tris
+    head_rows = s * shard_rows + i
+
+    fans = _np.arange(n_shards * g.FAN_SLOTS * cap)
+    j = fans // (n_shards * cap)  # fan slot
+    w = fans % (n_shards * cap)
+    fs = w // cap  # shard
+    fi = w % cap  # subset index within the shard
+    fan_rows = fs * shard_rows + shard_tris + j * cap + fi
+
     return jnp.asarray(
-        s * (g.FAN_SLOTS * shard_tris) + j * shard_tris + i, jnp.int32
+        _np.concatenate([head_rows, fan_rows]), jnp.int32
     )
 
 
