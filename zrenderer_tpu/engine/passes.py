@@ -75,9 +75,10 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
     uv = jnp.stack([u, v], axis=-1)
     lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
     layer = tex_layer.astype(jnp.int32) if layered else None
-    # Quad-atlas sampler: 2 gathers per pixel instead of 8 (trilinear) —
-    # per-index gather cost made the 8-gather path 131 ms/frame at 1080p.
-    tex = sampling.sample_trilinear_quad(
+    # Oct-atlas sampler: ONE gather per pixel for full trilinear (both mip
+    # levels' taps ride one 16-lane row) — per-index gather cost made the
+    # 8-gather path 131 ms and the 2-gather quad path ~12 ms at 1080p.
+    tex = sampling.sample_trilinear_oct(
         tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
     )
     return (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]

@@ -428,7 +428,7 @@ class Renderer:
                 c["matrices"], c["normal_mats"], c["inv_view_proj"] = staged
                 if pipeline == "lit":
                     color, depth = frame(
-                        b, self.texture.quad_atlas_u32, c["matrices"],
+                        b, self.texture.oct_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         self.light_pos, self.light_color,
                     )
@@ -440,7 +440,7 @@ class Renderer:
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)
                     color, depth, self._shadow_map = frame(
-                        b, self.texture.quad_atlas_u32, c["matrices"],
+                        b, self.texture.oct_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         light_matrices, light_vp, self.light_dir,
                         self.light_color,
@@ -742,13 +742,13 @@ class Renderer:
                     )
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.quad_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.quad_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         x["light_matrices"], x["light_vp"], self.light_dir,
                         self.light_color,

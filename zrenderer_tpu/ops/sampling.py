@@ -18,6 +18,7 @@ the texel fetch itself, flattened to a single dynamic axis.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _wrap(i, n):
@@ -160,6 +161,54 @@ def build_quad_atlas(atlas_u32, base_h: int, base_w: int, num_levels: int):
     return quad
 
 
+def build_oct_atlas(atlas_u32, base_h: int, base_w: int, num_levels: int):
+    """Precompute, per texel, its own 2x2 quad AND the parent-mip 3x3
+    neighborhood bracketing it — single-gather TRILINEAR.
+
+    Returns (h, 2w, 16) u32.  Lanes 0-3 = the texel's own 2x2 quad
+    (c00, c10, c01, c11 — exactly build_quad_atlas); lanes 4-12 = the
+    wrap-correct parent-level 3x3 anchored at ``bx = (tx - 1) >> 1``
+    (``by`` likewise): for any sample point inside texel (ty, tx)'s quad
+    footprint, the true parent bilinear quad base lies at anchor offset
+    (dy, dx) in {0, 1}^2 (derivation: x in [x0+.5, x0+1.5) => the parent
+    coordinate x/2 - .5 spans < one texel).  Lanes 13-15 pad to 16.
+
+    Why: TPU gathers pay per INDEX, so sample_trilinear_quad's TWO row
+    gathers (one per mip level) cost ~12 ms of a 16 ms lit frame at
+    1080p; fetching a 64-B row instead of 16-B is bandwidth-free by
+    comparison.  Bit-identical taps for power-of-two textures (the
+    mipmap module's contract).
+    """
+    h, w2 = atlas_u32.shape
+    oct_ = jnp.zeros((h, w2, 16), jnp.uint32)
+    for level in range(num_levels):
+        lw = max(base_w >> level, 1)
+        lh = max(base_h >> level, 1)
+        off = 0 if level == 0 else 2 * base_w - max(base_w >> (level - 1), 1)
+        region = atlas_u32[0:lh, off:off + lw]
+        right = jnp.roll(region, -1, axis=1)
+        down = jnp.roll(region, -1, axis=0)
+        diag = jnp.roll(right, -1, axis=0)
+        own = [region, right, down, diag]
+
+        pl = min(level + 1, num_levels - 1)
+        pw = max(base_w >> pl, 1)
+        ph = max(base_h >> pl, 1)
+        poff = 0 if pl == 0 else 2 * base_w - max(base_w >> (pl - 1), 1)
+        parent = atlas_u32[0:ph, poff:poff + pw]
+        bx = (np.arange(lw) - 1) >> 1  # unwrapped anchors (floor div)
+        by = (np.arange(lh) - 1) >> 1
+        taps = []
+        for j in range(3):
+            ry = np.mod(by + j, ph)
+            for i in range(3):
+                rx = np.mod(bx + i, pw)
+                taps.append(parent[jnp.asarray(ry)][:, jnp.asarray(rx)])
+        q = jnp.stack(own + taps + [region] * 3, axis=-1)
+        oct_ = oct_.at[0:lh, off:off + lw].set(q)
+    return oct_
+
+
 def _unpack_u32(texel):
     inv255 = jnp.float32(1.0 / 255.0)
     return jnp.stack(
@@ -209,4 +258,71 @@ def sample_trilinear_quad(quad_atlas, base_h: int, base_w: int,
                                     layer=layer)
     c1 = sample_bilinear_level_quad(quad_atlas, base_h, base_w, uv, l1,
                                     layer=layer)
+    return c0 * (1 - f) + c1 * f
+
+
+def sample_trilinear_oct(oct_atlas, base_h: int, base_w: int,
+                         num_levels: int, uv, lod, layer=None):
+    """Trilinear with ONE gather via the oct atlas (build_oct_atlas).
+
+    Both mip levels' taps ride one 16-lane u32 row: lanes 0-3 the fine
+    quad, lanes 4-12 the parent 3x3; the true parent 2x2 is selected from
+    the 3x3 with elementwise masks (offsets dy, dx in {0,1} by
+    construction, clamped for safety on non-pow2 degenerates).
+    Bit-identical to sample_trilinear_quad for pow2 textures: identical
+    taps, identical weight formulas, identical lerp order."""
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+
+    lh, lw, off_x = _mip_geometry(base_h, base_w, l0)
+    ph, pw, _ = _mip_geometry(base_h, base_w, l1)
+    w2 = oct_atlas.shape[1]
+    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    row0 = 0 if layer is None else layer * jnp.int32(base_h)
+    ix = _wrap(x0, lw)
+    iy = _wrap(y0, lh) + row0
+    rows = jnp.take(oct_atlas.reshape(-1, 16), iy * w2 + (ix + off_x),
+                    axis=0)
+
+    c00 = _unpack_u32(rows[..., 0])
+    c10 = _unpack_u32(rows[..., 1])
+    c01 = _unpack_u32(rows[..., 2])
+    c11 = _unpack_u32(rows[..., 3])
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    c0 = top * (1 - fy) + bot * fy
+
+    xp = uv[..., 0] * pw.astype(jnp.float32) - 0.5
+    yp = uv[..., 1] * ph.astype(jnp.float32) - 0.5
+    qx = jnp.floor(xp).astype(jnp.int32)
+    qy = jnp.floor(yp).astype(jnp.int32)
+    fxp = (xp - qx.astype(jnp.float32))[..., None]
+    fyp = (yp - qy.astype(jnp.float32))[..., None]
+    # Anchor offsets in the stored 3x3 (same unwrapped frame as x0/qx, so
+    # the difference is wrap-invariant; >> is the floor division the
+    # build used).
+    dx = jnp.clip(qx - ((x0 - 1) >> 1), 0, 1)
+    dy = jnp.clip(qy - ((y0 - 1) >> 1), 0, 1)
+
+    def ptap(jj, ii):
+        # lane 4 + (dy+jj)*3 + (dx+ii), via elementwise masks.
+        a = jnp.where(dx == 0, rows[..., 4 + jj * 3 + ii],
+                      rows[..., 4 + jj * 3 + ii + 1])
+        b = jnp.where(dx == 0, rows[..., 4 + (jj + 1) * 3 + ii],
+                      rows[..., 4 + (jj + 1) * 3 + ii + 1])
+        return _unpack_u32(jnp.where(dy == 0, a, b))
+
+    p00 = ptap(0, 0)
+    p10 = ptap(0, 1)
+    p01 = ptap(1, 0)
+    p11 = ptap(1, 1)
+    topp = p00 * (1 - fxp) + p10 * fxp
+    botp = p01 * (1 - fxp) + p11 * fxp
+    c1 = topp * (1 - fyp) + botp * fyp
     return c0 * (1 - f) + c1 * f
