@@ -1,6 +1,8 @@
 """Measure every BASELINE.json config on the current device — honestly.
 
-    python benchmarks/configs.py [--quick]
+    python benchmarks/configs.py [--quick] [--only substr]
+
+``--only substr`` runs just the configs whose name contains ``substr``.
 
 Prints one JSON line per config plus a markdown table (paste-ready for
 docs/PERFORMANCE.md).
@@ -52,6 +54,8 @@ def checker_texture(size: int = 256):
 def main() -> int:
     os.environ.setdefault("ZRENDERER_QUIET", "1")
     quick = "--quick" in sys.argv
+    only = (sys.argv[sys.argv.index("--only") + 1]
+            if "--only" in sys.argv else "")
     import jax
 
     from zrenderer_tpu.engine.config import RenderConfig
@@ -84,24 +88,30 @@ def main() -> int:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    def want(name):
+        return only in name
+
     # 0: flat 512x512.
-    cfg = RenderConfig(width=512, height=512, pipeline="flat")
-    r = Renderer(cfg)
-    r.load_scene(scene, mesh_data)
-    record("flat_512", cfg, r, measure(r, frames))
+    if want("flat_512"):
+        cfg = RenderConfig(width=512, height=512, pipeline="flat")
+        r = Renderer(cfg)
+        r.load_scene(scene, mesh_data)
+        record("flat_512", cfg, r, measure(r, frames))
 
     # 1: lit 1080p, textured + Blinn-Phong point light.
-    cfg = RenderConfig(width=1920, height=1080, pipeline="lit")
-    r = Renderer(cfg)
-    r.load_scene(scene, mesh_data)
-    r.set_environment(texture=checker_texture())
-    record("lit_1080p", cfg, r, measure(r, frames))
+    if want("lit_1080p"):
+        cfg = RenderConfig(width=1920, height=1080, pipeline="lit")
+        r = Renderer(cfg)
+        r.load_scene(scene, mesh_data)
+        r.set_environment(texture=checker_texture())
+        record("lit_1080p", cfg, r, measure(r, frames))
 
     # 2: shadowed 1080p (depth-only pass + PCF).
-    cfg = RenderConfig(width=1920, height=1080, pipeline="shadowed")
-    r = Renderer(cfg)
-    r.load_scene(scene, mesh_data)
-    record("shadowed_1080p", cfg, r, measure(r, frames))
+    if want("shadowed_1080p"):
+        cfg = RenderConfig(width=1920, height=1080, pipeline="shadowed")
+        r = Renderer(cfg)
+        r.load_scene(scene, mesh_data)
+        record("shadowed_1080p", cfg, r, measure(r, frames))
 
     # 3: deferred 1080p with 256 point lights, two light sets:
     # "wide" = intensities up to 1.0, every light's influence radius spans
@@ -114,6 +124,8 @@ def main() -> int:
     for name, colors in (("deferred_256L_wide_1080p", col),
                          ("deferred_256L_r2_1080p",
                           (col * 0.008).astype(np.float32))):
+        if not want(name):
+            continue
         cfg = RenderConfig(width=1920, height=1080, pipeline="deferred")
         r = Renderer(cfg)
         r.load_scene(scene, mesh_data)
@@ -122,11 +134,12 @@ def main() -> int:
 
     # 4: stretch — ~1M-triangle lattice, flat 1080p (TAA resolve measured
     # separately in the app path; the scan carries frame history already).
-    s4, md4 = make_stress_scene(200_000 if quick else 1_000_000)
-    cfg = RenderConfig(width=1920, height=1080, pipeline="flat")
-    r = Renderer(cfg)
-    r.load_scene(s4, md4)
-    record("stretch_1M_1080p", cfg, r, measure(r, max(frames // 5, 5)))
+    if want("stretch_1M_1080p"):
+        s4, md4 = make_stress_scene(200_000 if quick else 1_000_000)
+        cfg = RenderConfig(width=1920, height=1080, pipeline="flat")
+        r = Renderer(cfg)
+        r.load_scene(s4, md4)
+        record("stretch_1M_1080p", cfg, r, measure(r, max(frames // 5, 5)))
 
     print("\n| config | resolution | tris | ms/frame | FPS | Mtri/s | Gpix/s |")
     print("|---|---|---|---|---|---|---|")

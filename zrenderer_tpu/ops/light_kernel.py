@@ -113,7 +113,8 @@ def _tiled_light_kernel(counts_ref, lights_ref, list_ref, consts_ref,
     vx, vy, vz = cam_x - wxv, cam_y - wyv, cam_z - wzv
     inv_vlen = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
     vx, vy, vz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
-    ndotv = jnp.maximum(nxv * vx + nyv * vy + nzv * vz, 1e-4)
+    nv_raw = nxv * vx + nyv * vy + nzv * vz
+    ndotv = jnp.maximum(nv_raw, 1e-4)
 
     ar, ag, ab = (alb_r[...].astype(f32), alb_g[...].astype(f32),
                   alb_b[...].astype(f32))
@@ -126,8 +127,20 @@ def _tiled_light_kernel(counts_ref, lights_ref, list_ref, consts_ref,
     a = rv * rv
     a2 = a * a
     k = (rv + 1.0) * (rv + 1.0) * 0.125  # Smith-Schlick k
-    gv = ndotv / (ndotv * (1.0 - k) + k)
+    one_minus_k = 1.0 - k
+    gv = ndotv / (ndotv * one_minus_k + k)
     inv_pi = jnp.float32(1.0 / jnp.pi)
+    # Algebraically merged specular (identical form in the XLA reference,
+    # ops/shading.py:ggx_shade_many_lights): the Smith N.L numerator and
+    # the 4 N.V N.L denominator cancel against the rendering equation's
+    # N.L, so the per-pixel factor is ONE constant and each light pays a
+    # single divide: spec = cs / [pi d^2 * (N.L (1-k) + k)].
+    cs = a2 * gv * 0.25 / ndotv
+    a2m1 = a2 - 1.0
+    # Diffuse base per channel: (1-F)*kd*albedo/pi == db + F*(spec - db).
+    dbr = one_minus_m * ar * inv_pi
+    dbg = one_minus_m * ag * inv_pi
+    dbb = one_minus_m * ab * inv_pi
 
     acc_r = ar * ambient
     acc_g = ag * ambient
@@ -153,38 +166,32 @@ def _tiled_light_kernel(counts_ref, lights_ref, list_ref, consts_ref,
             d2 = dx * dx + dy * dy + dz * dz
             inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
             lxn, lyn, lzn = dx * inv_d, dy * inv_d, dz * inv_d
-            ndotl = jnp.maximum(nxv * lxn + nyv * lyn + nzv * lzn, 0.0)
-            hx, hy, hz = lxn + vx, lyn + vy, lzn + vz
-            inv_h = jax.lax.rsqrt(
-                jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12)
-            )
-            ndoth = jnp.maximum(
-                (nxv * hx + nyv * hy + nzv * hz) * inv_h, 0.0
-            )
-            vdoth = jnp.maximum(
-                (vx * hx + vy * hy + vz * hz) * inv_h, 0.0
-            )
+            nl_raw = nxv * lxn + nyv * lyn + nzv * lzn
+            ndotl = jnp.maximum(nl_raw, 0.0)
+            # Half vector by identity: |l+v|^2 = 2 + 2 l.v (l, v unit),
+            # N.h = (N.l + N.v) / |h|, V.h = (1 + l.v) / |h|.
+            ldotv = lxn * vx + lyn * vy + lzn * vz
+            inv_h = jax.lax.rsqrt(jnp.maximum(2.0 + 2.0 * ldotv, 1e-12))
+            ndoth = jnp.maximum((nl_raw + nv_raw) * inv_h, 0.0)
+            vdoth = jnp.maximum((1.0 + ldotv) * inv_h, 0.0)
 
-            # GGX distribution + Smith geometry + Schlick fresnel.
-            dterm = ndoth * ndoth * (a2 - 1.0) + 1.0
-            dist = a2 / jnp.maximum(jnp.pi * dterm * dterm, 1e-8)
-            gl = ndotl / (ndotl * (1.0 - k) + k)
-            gs = gv * gl
+            # Merged GGX distribution + Smith + energy terms: one divide.
+            dterm = ndoth * ndoth * a2m1 + 1.0
+            denom = jnp.maximum(jnp.pi * dterm * dterm, 1e-8) * (
+                ndotl * one_minus_k + k
+            )
+            spec = cs / denom
             t = jnp.clip(1.0 - vdoth, 0.0, 1.0)
             t2 = t * t
             t5 = t2 * t2 * t
             fr = f0r + (1.0 - f0r) * t5
             fg = f0g + (1.0 - f0g) * t5
             fb = f0b + (1.0 - f0b) * t5
-            spec_scale = dist * gs / jnp.maximum(4.0 * ndotv * ndotl, 1e-4)
-            rad = ndotl / jnp.maximum(d2, 1e-4)  # 1/d^2 radiance * N.L
+            rad = ndotl * (inv_d * inv_d)  # 1/d^2 radiance * N.L
             return (
-                acc_r + ((1.0 - fr) * one_minus_m * ar * inv_pi
-                         + fr * spec_scale) * cr * rad,
-                acc_g + ((1.0 - fg) * one_minus_m * ag * inv_pi
-                         + fg * spec_scale) * cg * rad,
-                acc_b + ((1.0 - fb) * one_minus_m * ab * inv_pi
-                         + fb * spec_scale) * cb * rad,
+                acc_r + (dbr + fr * (spec - dbr)) * (cr * rad),
+                acc_g + (dbg + fg * (spec - dbg)) * (cg * rad),
+                acc_b + (dbb + fb * (spec - dbb)) * (cb * rad),
             )
 
         return lit(None)

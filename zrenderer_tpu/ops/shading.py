@@ -82,20 +82,6 @@ def blinn_phong(albedo, normal, world_pos, cam_pos, light_pos, light_color,
 # -- GGX / Cook-Torrance (config 3) -------------------------------------------
 
 
-def _ggx_distribution(ndoth, roughness):
-    a = roughness * roughness
-    a2 = a * a
-    d = ndoth * ndoth * (a2 - 1.0) + 1.0
-    return a2 / jnp.maximum(jnp.pi * d * d, 1e-8)
-
-
-def _smith_ggx(ndotv, ndotl, roughness):
-    k = (roughness + 1.0) ** 2 / 8.0
-    gv = ndotv / (ndotv * (1.0 - k) + k)
-    gl = ndotl / (ndotl * (1.0 - k) + k)
-    return gv * gl
-
-
 def _fresnel_schlick(vdoth, f0):
     return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - vdoth, 0.0, 1.0), 5.0)
 
@@ -114,16 +100,32 @@ def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
     n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
     v = cam_pos - world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
-    ndotv = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
+    nv_raw = jnp.sum(n * v, axis=-1, keepdims=True)
+    ndotv = jnp.maximum(nv_raw, 1e-4)
     metallic = jnp.broadcast_to(
         jnp.asarray(metallic, jnp.float32), albedo.shape[:2]
     )[..., None]
     roughness = jnp.broadcast_to(
         jnp.asarray(roughness, jnp.float32), albedo.shape[:2]
     )[..., None]
-    rough_l = roughness[..., None, :]  # broadcasts over the light chunk
     met_l = metallic[..., None, :]
     f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+
+    # Algebraically merged Cook-Torrance (the Pallas light kernel uses the
+    # identical form — ops/light_kernel.py): the 1/(4 N.V N.L) specular
+    # denominator cancels against the Smith N.L numerator and the N.L in
+    # the rendering equation, so everything per-pixel folds into ONE
+    # constant cs = a2 * Gv / (4 N.V); the per-light specular is a single
+    # divide cs / [pi d^2 * (N.L (1-k) + k)].  The half vector is never
+    # built: |l+v|^2 = 2 + 2 l.v, N.h = (N.l + N.v)/|h|, V.h = (1 + l.v)/|h|.
+    a = roughness * roughness
+    a2 = a * a
+    k = (roughness + 1.0) ** 2 / 8.0
+    gv = ndotv / (ndotv * (1.0 - k) + k)
+    cs = a2 * gv * 0.25 / ndotv
+    a2m1 = a2[..., None, :] - 1.0
+    k_l = k[..., None, :]
+    cs_l = cs[..., None, :]
 
     num_lights = light_pos.shape[0]
     if num_lights % chunk:
@@ -137,22 +139,25 @@ def ggx_shade_many_lights(albedo, normal, world_pos, cam_pos,
         lcol = lc[c]
         lvec = lpos[None, None] - world_pos[..., None, :]  # (H, W, chunk, 3)
         dist2 = jnp.sum(lvec * lvec, axis=-1, keepdims=True)
-        l = lvec * jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
-        hv = l + v[..., None, :]
-        hv = hv * jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(hv * hv, axis=-1, keepdims=True), 1e-12)
-        )
-        ndotl = jnp.maximum(jnp.sum(n[..., None, :] * l, axis=-1, keepdims=True), 0.0)
-        ndoth = jnp.maximum(jnp.sum(n[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
-        vdoth = jnp.maximum(jnp.sum(v[..., None, :] * hv, axis=-1, keepdims=True), 0.0)
+        inv_d = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+        l = lvec * inv_d
+        nl_raw = jnp.sum(n[..., None, :] * l, axis=-1, keepdims=True)
+        ndotl = jnp.maximum(nl_raw, 0.0)
+        ldotv = jnp.sum(v[..., None, :] * l, axis=-1, keepdims=True)
+        inv_h = jax.lax.rsqrt(jnp.maximum(2.0 + 2.0 * ldotv, 1e-12))
+        ndoth = jnp.maximum((nl_raw + nv_raw[..., None, :]) * inv_h, 0.0)
+        vdoth = jnp.maximum((1.0 + ldotv) * inv_h, 0.0)
 
-        d = _ggx_distribution(ndoth, rough_l)
-        gs = _smith_ggx(ndotv[..., None, :], ndotl, rough_l)
+        dterm = ndoth * ndoth * a2m1 + 1.0
+        denom = jnp.maximum(jnp.pi * dterm * dterm, 1e-8) * (
+            ndotl * (1.0 - k_l) + k_l
+        )
+        spec = cs_l / denom
         f = _fresnel_schlick(vdoth, f0[..., None, :])
-        spec = d * gs * f / jnp.maximum(4.0 * ndotv[..., None, :] * ndotl, 1e-4)
         kd = (1.0 - f) * (1.0 - met_l)
-        radiance = lcol[None, None] / jnp.maximum(dist2, 1e-4)
-        contrib = (kd * albedo[..., None, :] / jnp.pi + spec) * radiance * ndotl
+        radiance = lcol[None, None] * (inv_d * inv_d)
+        contrib = (kd * albedo[..., None, :] / jnp.pi + f * spec) \
+            * radiance * ndotl
         return acc + contrib.sum(axis=-2)
 
     acc = jnp.zeros_like(albedo)
