@@ -47,6 +47,29 @@ def test_pallas_interpret_bit_exact_parity():
     assert diff.max() <= 1
 
 
+def test_depth_only_kernel_matches_full_depth():
+    """The depth-only kernel (shadow-map pass) is bit-identical to the
+    full kernel's depth plane."""
+    W, H = 128, 32
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    _, depth_full = rp.rasterize_setup_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    depth_only = rp.rasterize_depth_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(depth_only),
+                                  np.asarray(depth_full))
+    assert (np.asarray(depth_only) < 1.0).mean() > 0.1
+
+
 def test_unpack_rgba8():
     packed = jnp.asarray(np.array([[0x04030201, 0xFF000000]], np.uint32))
     u8 = np.asarray(rp.unpack_rgba8(packed))

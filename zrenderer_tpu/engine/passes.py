@@ -51,9 +51,9 @@ def _depth_only(backend, b, light_matrices, size, interpret):
     """Depth-only pass from the light's view (the shadow-map pass)."""
     sw = sh = size
     if backend == "pallas":
-        _, depth = raster_pallas.render_frame_pallas(
+        depth = raster_pallas.render_depth_pallas(
             b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
-            b["vert_node"], sw, sh, sh, sw, interpret=interpret,
+            b["vert_node"], sw, sh, interpret=interpret,
         )
     else:
         _, depth = raster_xla.render_frame_xla(

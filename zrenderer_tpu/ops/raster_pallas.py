@@ -743,6 +743,154 @@ def rasterize_setup_pallas(tri_i32, tri_f32, width: int, height: int,
     return color, depth
 
 
+def _depth_kernel(sup_ref, blk_ref, ti_ref, tf_ref, depth_ref, zbuf):
+    """Depth-only tile raster — the shadow-map pass (zd3d12's depth-only
+    PSO analog).  Identical traversal/coverage/z semantics to
+    _kernel_body, but the per-visit work is the edge tests + z latch
+    alone: no attribute interpolation, no perspective divide, no u8
+    packing — about half the per-(tile, triangle) cost of the flat
+    kernel, on the pass the shadowed pipeline runs every frame."""
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = (row0 + iy) * g.SUBPIXEL + half
+    px = (col0 + ix) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
+            (jmax >= col0)
+            & (jmin < col0 + TILE_W)
+            & (imax >= row0)
+            & (imin < row0 + TILE_H)
+            & (jmin <= jmax)
+            & (imin <= imax)
+        )
+
+    def super_hit(sb):
+        return tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
+
+    def block_hit(bk):
+        return tile_overlap(
+            blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
+        )
+
+    def visit_block(bk):
+        tu = _tri_unroll()
+
+        def unrolled(q, c2):
+            base = q * tu
+            hits = [
+                tile_overlap(
+                    ti_ref[base + u, g.I_JMIN],
+                    ti_ref[base + u, g.I_JMAX],
+                    ti_ref[base + u, g.I_IMIN],
+                    ti_ref[base + u, g.I_IMAX],
+                )
+                for u in range(tu)
+            ]
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
+
+            @pl.when(any_hit)
+            def _():
+                for u in range(tu):
+                    body(base + u, hits[u])
+
+            return c2
+
+        jax.lax.fori_loop(
+            bk * (g.RASTER_BLOCK // tu),
+            (bk + 1) * (g.RASTER_BLOCK // tu), unrolled, 0
+        )
+
+    def body(t, overlap):
+        e0 = ti_ref[t, g.I_DX0] * (py - ti_ref[t, g.I_Y1]) \
+            - ti_ref[t, g.I_DY0] * (px - ti_ref[t, g.I_X1])
+        e1 = ti_ref[t, g.I_DX1] * (py - ti_ref[t, g.I_Y2]) \
+            - ti_ref[t, g.I_DY1] * (px - ti_ref[t, g.I_X2])
+        e2 = ti_ref[t, g.I_DX2] * (py - ti_ref[t, g.I_Y0]) \
+            - ti_ref[t, g.I_DY2] * (px - ti_ref[t, g.I_X0])
+        cov = (
+            (e0 >= ti_ref[t, g.I_BIAS0])
+            & (e1 >= ti_ref[t, g.I_BIAS1])
+            & (e2 >= ti_ref[t, g.I_BIAS2])
+        )
+        z = (e0.astype(jnp.float32) * tf_ref[t, g.F_ZA0]
+             + e1.astype(jnp.float32) * tf_ref[t, g.F_ZA1]
+             + e2.astype(jnp.float32) * tf_ref[t, g.F_ZA2])
+        zb = zbuf[...]
+        ok = cov & (z >= 0.0) & (z < zb) & overlap
+        zbuf[...] = jnp.where(ok, z, zb)
+
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+    depth_ref[...] = zbuf[...]
+
+
+def rasterize_depth_pallas(tri_i32, tri_f32, width: int, height: int,
+                           interpret: bool = False, compact: bool = True):
+    """Depth-only raster (shadow-map pass).  Returns (H, W) f32 depth,
+    bit-identical to rasterize_setup_pallas's depth plane."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+
+    (depth,) = _pallas_call(
+        _depth_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        interpret=interpret,
+    )(supers, blocks, tri_i32, tri_f32)
+    return depth
+
+
+def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
+                        width: int, height: int,
+                        interpret: bool = False, vertex_shader=None):
+    """Geometry pipeline + depth-only raster (the shadow-map pass).
+    width/height must be tile multiples (shadow maps are pow2).  Scenes
+    past the VMEM triangle budget fall back to the HBM-streaming kernel
+    (which also produces depth)."""
+    tri_i32, tri_f32 = g.geometry_pipeline(
+        jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
+        vertex_shader=vertex_shader,
+    )
+    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+        _, depth = rasterize_setup_pallas_hbm(
+            tri_i32, tri_f32, width, height, interpret=interpret
+        )
+        return depth
+    return rasterize_depth_pallas(
+        tri_i32, tri_f32, width, height, interpret=interpret
+    )
+
+
 def _band_kernel(row0_ref, sup_ref, blk_ref, ti_ref, tf_ref, color_ref,
                  depth_ref, zbuf, nr, ng, nb, den):
     """Band variant for multi-chip tile sharding: identical to
