@@ -33,6 +33,8 @@ def main() -> int:
     frames = 20
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    stages = (sys.argv[sys.argv.index("--stages") + 1].upper()
+              if "--stages" in sys.argv else "ABCDE")
 
     import jax
     import jax.numpy as jnp
@@ -157,17 +159,18 @@ def main() -> int:
             best = min(best, (time.perf_counter() - t0) / frames)
         return best * 1000
 
-    a = timed(stage_a, "A depth-only")
-    bt = timed(stage_b, "B +gbuffer")
-    ct = timed(stage_c, "C +world")
-    dt = timed(stage_d, "D +pcf")
-    et = timed(stage_e, "E full")
+    fns = {"A": (stage_a, "A depth-only"), "B": (stage_b, "B +gbuffer"),
+           "C": (stage_c, "C +world"), "D": (stage_d, "D +pcf"),
+           "E": (stage_e, "E full")}
     print(f"frames={frames} platform={jax.devices()[0].platform}")
-    print(f"A depth-only 1024^2   : {a:8.2f} ms/frame")
-    print(f"B +gbuffer   (delta)  : {bt:8.2f} ms/frame  (+{bt - a:.2f})")
-    print(f"C +world     (delta)  : {ct:8.2f} ms/frame  (+{ct - bt:.2f})")
-    print(f"D +pcf       (delta)  : {dt:8.2f} ms/frame  (+{dt - ct:.2f})")
-    print(f"E full       (delta)  : {et:8.2f} ms/frame  (+{et - dt:.2f})")
+    prev = None
+    for key in "ABCDE":
+        if key not in stages:
+            continue
+        ms = timed(*fns[key])
+        delta = "" if prev is None else f"  (+{ms - prev:.2f})"
+        print(f"{fns[key][1]:22s}: {ms:8.2f} ms/frame{delta}", flush=True)
+        prev = ms
     return 0
 
 

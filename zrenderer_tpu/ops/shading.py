@@ -217,21 +217,52 @@ def shadow_factor_pcf(shadow_depth, world_pos, light_view_proj,
     count = (2 * taps + 1) ** 2
     # ONE gather for the whole kernel: XLA gathers on TPU cost per-INDEX,
     # not per-byte, and (2t+1)^2 separate full-screen gathers measured
-    # 140+ ms/frame at 1080p.  Instead, stack every edge-clamped shifted
-    # map as channels of one (Sh*Sw, count) array — shifted[k][y, x] ==
-    # shadow[clip(y+dy), clip(x+dx)] exactly matches the old per-tap
-    # clamped lookup — and fetch all taps as one contiguous row per pixel.
+    # 140+ ms/frame at 1080p.  Every edge-clamped shifted map becomes a
+    # channel of one row table — shifted[k][y, x] ==
+    # shadow[clip(y+dy), clip(x+dx)] exactly matches a per-tap clamped
+    # lookup — and all taps ride one contiguous row per pixel.
+    #
+    # The map is stored U16 (the D16 shadow-map format real renderers
+    # default to): two taps pack per u32 lane, so the 3x3 kernel is FIVE
+    # u32 lanes padded to eight.  Measured on hardware
+    # (benchmarks/gather_probe.py): 8-lane rows gather at ~4.3 ns/index
+    # vs ~6.9 for 9xf32 rows — the gather is the dominant cost of the
+    # shadowed frame (attribution: 13.8 of 19.5 ms).  U16 quantization
+    # (lsb 1.5e-5) is ~130x below the default depth bias (2e-3), so the
+    # comparison semantics are unchanged in practice; both backends run
+    # this same function, so cross-backend parity is preserved exactly.
     shifted = []
     for dy in range(-taps, taps + 1):
         for dx in range(-taps, taps + 1):
             sl = jnp.pad(shadow_depth, ((taps, taps), (taps, taps)),
                          mode="edge")[
                 taps + dy:taps + dy + sh, taps + dx:taps + dx + sw]
-            shifted.append(sl)
-    stack = jnp.stack(shifted, axis=-1).reshape(sh * sw, count)
-    rows = jnp.take(stack, iy * sw + ix, axis=0)  # (H, W, count)
-    hits = (z[..., None] - total_bias[..., None] <= rows)
-    lit = hits.astype(jnp.float32).sum(axis=-1) / count
+            shifted.append(
+                jnp.floor(jnp.clip(sl, 0.0, 1.0) * 65535.0 + 0.5)
+                .astype(jnp.int32).astype(jnp.uint32))
+    u32_lanes = (count + 1) // 2
+    lanes = 4
+    while lanes < u32_lanes:
+        lanes *= 2
+    packed = []
+    for j in range(u32_lanes):
+        lo = shifted[2 * j]
+        hi = shifted[2 * j + 1] if 2 * j + 1 < count else jnp.zeros_like(lo)
+        packed.append(lo | (hi << 16))
+    packed += [jnp.zeros_like(packed[0])] * (lanes - u32_lanes)
+    stack = jnp.stack(packed, axis=-1).reshape(sh * sw, lanes)
+    rows = jnp.take(stack, iy * sw + ix, axis=0)  # (H, W, lanes)
+    # Integer-domain compare: threshold t16 = ceil((z - bias) * 65535)
+    # clamped to [0, 65535]; hit iff stored u16 >= t16  <=>
+    # z - bias <= d16/65535 (the f32 compare against the D16 depth).
+    t16 = jnp.clip(
+        jnp.ceil((z - total_bias) * 65535.0), 0.0, 65535.0
+    ).astype(jnp.int32)[..., None]
+    hit_count = jnp.zeros(z.shape, jnp.int32)
+    for k in range(count):
+        tap = ((rows[..., k // 2] >> (16 * (k % 2))) & 0xFFFF).astype(jnp.int32)
+        hit_count = hit_count + (tap >= t16[..., 0]).astype(jnp.int32)
+    lit = hit_count.astype(jnp.float32) / count
     inside = (
         (ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
         & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1)
