@@ -79,6 +79,44 @@ def main() -> int:
             ti, tf, W, H, compact=compact)
         return jnp.float32(color.sum()) + depth.sum()
 
+    def stage_v(m):
+        # Visibility-buffer z+id kernel ONLY (no color resolve).
+        import jax.experimental.pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        ti, tf = geom(m)
+        supers, blocks, ti, tf = rp.prepare_raster_inputs(
+            ti, tf, compact=compact)
+        import jax as _jax
+        tile_spec = pl.BlockSpec((rp.TILE_H, rp.TILE_W),
+                                 lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM)
+        depth, idx = rp._pallas_call(
+            rp._hbm_vis_kernel,
+            grid=(H // rp.TILE_H, W // rp.TILE_W),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[tile_spec, tile_spec],
+            out_shape=[
+                _jax.ShapeDtypeStruct((H, W), jnp.float32),
+                _jax.ShapeDtypeStruct((H, W), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rp.TILE_H, rp.TILE_W), jnp.float32),
+                pltpu.VMEM((rp.TILE_H, rp.TILE_W), jnp.int32),
+            ] + list(rp._HBM_SLABS),
+        )(supers, blocks, *rp._hbm_flat_inputs(ti, tf))
+        return depth.sum() + jnp.float32(idx.sum())
+
+    def stage_w(m):
+        ti, tf = geom(m)
+        color, depth = rp.rasterize_setup_pallas_vis(
+            ti, tf, W, H, compact=compact)
+        return jnp.float32(color.sum()) + depth.sum()
+
     def timed(fn, name):
         @jax.jit
         def run(ms):
@@ -101,10 +139,14 @@ def main() -> int:
     a = timed(stage_a, "A geometry")
     bt = timed(stage_b, "B +prepare")
     c = timed(stage_c, "C +raster")
+    v = timed(stage_v, "V +vis-kernel")
+    wt = timed(stage_w, "W +vis+resolve")
     print(f"tris={n} frames={frames} platform={jax.devices()[0].platform}")
     print(f"A geometry            : {a:8.2f} ms/frame")
     print(f"B +prepare (delta)    : {bt:8.2f} ms/frame  (+{bt - a:.2f})")
-    print(f"C +raster  (delta)    : {c:8.2f} ms/frame  (+{c - bt:.2f})")
+    print(f"C +hbm raster (delta) : {c:8.2f} ms/frame  (+{c - bt:.2f})")
+    print(f"V +vis kernel (delta) : {v:8.2f} ms/frame  (+{v - bt:.2f})")
+    print(f"W +vis+resolve (delta): {wt:8.2f} ms/frame  (+{wt - v:.2f})")
     return 0
 
 

@@ -102,6 +102,31 @@ def test_pallas_hbm_streaming_matches_oracle():
     assert np.abs(u8_pl.astype(np.int32) - u8_cpu.astype(np.int32)).max() <= 1
 
 
+def test_vis_buffer_matches_hbm_kernel():
+    """The visibility-buffer path (z+id Pallas pass + XLA color resolve)
+    is bit-identical to the single-pass HBM kernel: same depth plane,
+    same packed color (the resolve recomputes the winner's color with
+    the kernel's exact arithmetic)."""
+    W, H = 128, 32
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    color_h, depth_h = rp.rasterize_setup_pallas_hbm(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    color_v, depth_v = rp.rasterize_setup_pallas_vis(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(depth_v), np.asarray(depth_h))
+    np.testing.assert_array_equal(np.asarray(color_v), np.asarray(color_h))
+    assert (np.asarray(depth_v) < 1.0).mean() > 0.1
+
+
 def test_pallas_gbuffer_interpret_parity_with_xla():
     """The Pallas G-buffer kernel and its XLA twin agree on coverage and
     interpolants (CPU: interpret mode, 1-LSB contract)."""

@@ -524,6 +524,11 @@ def setup_triangles(xp, tris, valid, width: int, height: int,
     sentinel = np.zeros(NI32, np.int32)
     sentinel[I_JMIN] = 1
     sentinel[I_IMIN] = 1
+    # Dead slots get bias = INT32_MAX so their coverage test can NEVER
+    # pass (|edge values| < 2^31 by the guard-band clamp): kernels may
+    # evaluate triangles unconditionally with no per-triangle bbox fold
+    # needed for correctness — the bbox is purely a skip optimization.
+    sentinel[I_BIAS0] = sentinel[I_BIAS1] = sentinel[I_BIAS2] = 2**31 - 1
     mask = alive[:, None]
     tri_i32 = xp.where(mask, tri_i32, xp.asarray(sentinel, dtype=i32))
     tri_f32 = xp.where(mask, tri_f32, f32(0.0))

@@ -364,7 +364,10 @@ def prepare_raster_inputs(tri_i32, tri_f32, compact: bool = True):
     if pad:
         tri_i32 = jnp.concatenate(
             [tri_i32, jnp.zeros((pad, g.NI32), jnp.int32)
-             .at[:, g.I_JMIN].set(1)], axis=0
+             .at[:, g.I_JMIN].set(1)
+             .at[:, g.I_BIAS0].set(2**31 - 1)
+             .at[:, g.I_BIAS1].set(2**31 - 1)
+             .at[:, g.I_BIAS2].set(2**31 - 1)], axis=0
         )
         tri_f32 = jnp.concatenate(
             [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
@@ -660,6 +663,411 @@ def rasterize_setup_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
         interpret=interpret,
     )(supers, blocks, *_hbm_flat_inputs(tri_i32, tri_f32))
     return color, depth
+
+
+def _hbm_vis_kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, depth_ref, idx_ref,
+                    zbuf, idxbuf, ti_buf, tf_buf, dma_sems):
+    """Visibility-buffer pass for very large scenes: identical traversal,
+    coverage, and z semantics to _hbm_kernel_body, but the per-visit work
+    latches only (z, winning triangle id) — no attribute interpolation, no
+    packing.  With ~1M one-pixel triangles each paying a full-tile vector
+    evaluation, the dropped per-visit planes (den + 3 color numerators,
+    each a 3-FMA interpolation plus a select) are most of the frame; the
+    winner's color is recomputed EXACTLY once per pixel in the XLA
+    resolve pass (resolve_flat_vis) from the latched id."""
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = (row0 + iy) * g.SUBPIXEL + half
+    px = (col0 + ix) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    idxbuf[...] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
+            (jmax >= col0)
+            & (jmin < col0 + TILE_W)
+            & (imax >= row0)
+            & (imin < row0 + TILE_H)
+            & (jmin <= jmax)
+            & (imin <= imax)
+        )
+
+    def tri_body(base4, u, gid, overlap):
+        ir = base4 + u // 4
+        il = (u % 4) * I32_LANES
+        fr2 = 2 * base4 + u // 2
+        fl = (u % 2) * F32_LANES
+        e0 = ti_buf[ir, il + g.I_DX0] * (py - ti_buf[ir, il + g.I_Y1]) - \
+            ti_buf[ir, il + g.I_DY0] * (px - ti_buf[ir, il + g.I_X1])
+        e1 = ti_buf[ir, il + g.I_DX1] * (py - ti_buf[ir, il + g.I_Y2]) - \
+            ti_buf[ir, il + g.I_DY1] * (px - ti_buf[ir, il + g.I_X2])
+        e2 = ti_buf[ir, il + g.I_DX2] * (py - ti_buf[ir, il + g.I_Y0]) - \
+            ti_buf[ir, il + g.I_DY2] * (px - ti_buf[ir, il + g.I_X0])
+        cov = (
+            (e0 >= ti_buf[ir, il + g.I_BIAS0])
+            & (e1 >= ti_buf[ir, il + g.I_BIAS1])
+            & (e2 >= ti_buf[ir, il + g.I_BIAS2])
+        )
+        z = (e0.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA0]
+             + e1.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA1]
+             + e2.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA2])
+        zb = zbuf[...]
+        ok = cov & (z >= 0.0) & (z < zb) & overlap
+        zbuf[...] = jnp.where(ok, z, zb)
+        idxbuf[...] = jnp.where(ok, gid, idxbuf[...])
+
+    def block_hit(bk):
+        return tile_overlap(
+            blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
+        )
+
+    def visit_block(bk):
+        rows_i = g.RASTER_BLOCK // 4
+        rows_f = g.RASTER_BLOCK // 2
+        cp_i = pltpu.make_async_copy(
+            ti_hbm.at[pl.ds(bk * rows_i, rows_i), :], ti_buf, dma_sems.at[0],
+        )
+        cp_f = pltpu.make_async_copy(
+            tf_hbm.at[pl.ds(bk * rows_f, rows_f), :], tf_buf, dma_sems.at[1],
+        )
+        cp_i.start()
+        cp_f.start()
+        cp_i.wait()
+        cp_f.wait()
+        gid0 = bk * g.RASTER_BLOCK
+
+        def unrolled(q, c2):
+            base4 = q * (TRI_UNROLL // 4)
+            hits = []
+            for u in range(TRI_UNROLL):
+                ir = base4 + u // 4
+                il = (u % 4) * I32_LANES
+                hits.append(tile_overlap(
+                    ti_buf[ir, il + g.I_JMIN], ti_buf[ir, il + g.I_JMAX],
+                    ti_buf[ir, il + g.I_IMIN], ti_buf[ir, il + g.I_IMAX],
+                ))
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
+
+            @pl.when(any_hit)
+            def _():
+                for u in range(TRI_UNROLL):
+                    tri_body(base4, u, gid0 + q * TRI_UNROLL + u, hits[u])
+
+            return c2
+
+        jax.lax.fori_loop(0, g.RASTER_BLOCK // TRI_UNROLL, unrolled, 0)
+
+    def super_hit(sb):
+        return tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
+
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+
+    depth_ref[...] = zbuf[...]
+    idx_ref[...] = idxbuf[...]
+
+
+GROUP = 8  # triangles per hit-bit (and per unconditional body group)
+
+
+def prepare_group_bits(tri_i32, width: int, height: int):
+    """Per-(tile, triangle-group) hit bitmap, computed VECTORIZED in XLA.
+
+    Returns (tiles, ceil(G/32)) int32 where bit g of row t says: some
+    triangle in group-of-8 g has a pixel bbox overlapping tile t.  The
+    kernel then reads ONE scalar word per block (16 group bits) instead
+    of doing ~8x12 scalar bbox ops per group — the dominant machinery
+    cost of the million-triangle scan (docs/PERFORMANCE.md).  Bits are
+    conservative by group-bbox union; correctness never depends on them
+    (dead slots carry bias=INT32_MAX since geometry.setup_triangles)."""
+    t = tri_i32.shape[0]
+    assert t % g.RASTER_BLOCK == 0
+    ngroups = t // GROUP
+    ty, tx = height // TILE_H, width // TILE_W
+    # Group union bboxes (segment min/max over 8; dead slots have inverted
+    # bboxes which union away unless the whole group is dead).
+    jmin = tri_i32[:, g.I_JMIN].reshape(ngroups, GROUP)
+    jmax = tri_i32[:, g.I_JMAX].reshape(ngroups, GROUP)
+    imin = tri_i32[:, g.I_IMIN].reshape(ngroups, GROUP)
+    imax = tri_i32[:, g.I_IMAX].reshape(ngroups, GROUP)
+    live = (jmin <= jmax) & (imin <= imax)
+    big = jnp.int32(1 << 29)
+    gjmin = jnp.where(live, jmin, big).min(axis=1)
+    gjmax = jnp.where(live, jmax, -big).max(axis=1)
+    gimin = jnp.where(live, imin, big).min(axis=1)
+    gimax = jnp.where(live, imax, -big).max(axis=1)
+    # Tile index ranges per group.
+    tx0 = gjmin // TILE_W
+    tx1 = gjmax // TILE_W
+    ty0 = gimin // TILE_H
+    ty1 = gimax // TILE_H
+    rows = jnp.arange(ty, dtype=jnp.int32)[:, None, None]
+    cols = jnp.arange(tx, dtype=jnp.int32)[None, :, None]
+    ghit = ((rows >= ty0) & (rows <= ty1)
+            & (cols >= tx0) & (cols <= tx1))  # (ty, tx, G)
+    # Word count padded to a multiple of 1024: the kernel DMAs each
+    # tile's row as a 1-D slice (2-D sublane slicing would need 8-row
+    # alignment), and 1-D VMEM refs are tiled (1024,) — both the slice
+    # length and its offset must be 1024-aligned.
+    nwords = -(-ngroups // 32)
+    nwords = -(-nwords // 1024) * 1024
+    pad = nwords * 32 - ngroups
+    if pad:
+        ghit = jnp.pad(ghit, ((0, 0), (0, 0), (0, pad)))
+    bits = (ghit.reshape(ty * tx, nwords, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, None, :]).sum(
+        axis=-1, dtype=jnp.uint32)
+    tiles_pad = -(-(ty * tx) // 8) * 8 - ty * tx
+    if tiles_pad:
+        bits = jnp.pad(bits, ((0, tiles_pad), (0, 0)))
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
+def _hbm_vis_bits_kernel(bits_hbm, sup_ref, ti_hbm, tf_hbm,
+                         depth_ref, idx_ref,
+                         zbuf, idxbuf, ti_buf, tf_buf, bits_smem, dma_sems):
+    """Visibility pass driven by the precomputed hit bitmap: per visited
+    block, ONE scalar word read yields the block-skip test and all 16
+    group bits; group bodies run UNCONDITIONALLY over their 8 triangles
+    (dead slots cannot cover — bias=INT32_MAX — and a bbox-missing
+    triangle covers no pixel of this tile by geometry), so the per-visit
+    scalar machinery is gone.  Superblock skip keeps the coarse bbox
+    test (few entries)."""
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    tile_idx = tile_i * pl.num_programs(1) + tile_j
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = (row0 + iy) * g.SUBPIXEL + half
+    px = (col0 + ix) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    idxbuf[...] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+    # This tile's bitmap row -> SMEM (scalar reads at dynamic word index
+    # need SMEM; dynamic lane-dim VMEM indexing does not compile).  The
+    # bitmap is 1-D flattened: 2-D row slices would need 8-row-aligned
+    # sublane slices, while a 1-D slice only needs its 128-aligned offset
+    # (nwords is padded to a multiple of 128).
+    nwords = bits_smem.shape[0]
+    cp_bits = pltpu.make_async_copy(
+        bits_hbm.at[pl.ds(tile_idx * nwords, nwords)], bits_smem,
+        dma_sems.at[2],
+    )
+    cp_bits.start()
+    cp_bits.wait()
+
+    def tri_body(base4, u, gid):
+        ir = base4 + u // 4
+        il = (u % 4) * I32_LANES
+        fr2 = 2 * base4 + u // 2
+        fl = (u % 2) * F32_LANES
+        e0 = ti_buf[ir, il + g.I_DX0] * (py - ti_buf[ir, il + g.I_Y1]) - \
+            ti_buf[ir, il + g.I_DY0] * (px - ti_buf[ir, il + g.I_X1])
+        e1 = ti_buf[ir, il + g.I_DX1] * (py - ti_buf[ir, il + g.I_Y2]) - \
+            ti_buf[ir, il + g.I_DY1] * (px - ti_buf[ir, il + g.I_X2])
+        e2 = ti_buf[ir, il + g.I_DX2] * (py - ti_buf[ir, il + g.I_Y0]) - \
+            ti_buf[ir, il + g.I_DY2] * (px - ti_buf[ir, il + g.I_X0])
+        cov = (
+            (e0 >= ti_buf[ir, il + g.I_BIAS0])
+            & (e1 >= ti_buf[ir, il + g.I_BIAS1])
+            & (e2 >= ti_buf[ir, il + g.I_BIAS2])
+        )
+        z = (e0.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA0]
+             + e1.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA1]
+             + e2.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA2])
+        zb = zbuf[...]
+        ok = cov & (z >= 0.0) & (z < zb)
+        zbuf[...] = jnp.where(ok, z, zb)
+        idxbuf[...] = jnp.where(ok, gid, idxbuf[...])
+
+    groups_per_block = g.RASTER_BLOCK // GROUP  # 16: half a bitmap word
+
+    def block_word(bk):
+        word = bits_smem[bk // 2]
+        shift = (bk % 2) * 16
+        return (word >> shift) & 0xFFFF
+
+    def visit_block(bk, word16):
+        rows_i = g.RASTER_BLOCK // 4
+        rows_f = g.RASTER_BLOCK // 2
+        cp_i = pltpu.make_async_copy(
+            ti_hbm.at[pl.ds(bk * rows_i, rows_i), :], ti_buf, dma_sems.at[0],
+        )
+        cp_f = pltpu.make_async_copy(
+            tf_hbm.at[pl.ds(bk * rows_f, rows_f), :], tf_buf, dma_sems.at[1],
+        )
+        cp_i.start()
+        cp_f.start()
+        cp_i.wait()
+        cp_f.wait()
+        gid0 = bk * g.RASTER_BLOCK
+        for q in range(groups_per_block):
+            @pl.when(((word16 >> q) & 1) != 0)
+            def _(q=q):
+                base4 = q * (GROUP // 4)
+                for u in range(GROUP):
+                    tri_body(base4, u, gid0 + q * GROUP + u)
+
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
+            (jmax >= col0)
+            & (jmin < col0 + TILE_W)
+            & (imax >= row0)
+            & (imin < row0 + TILE_H)
+            & (jmin <= jmax)
+            & (imin <= imax)
+        )
+
+    def super_hit(sb):
+        return tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     lambda bk: block_word(bk) != 0,
+                     lambda bk: visit_block(bk, block_word(bk)))
+
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+
+    depth_ref[...] = zbuf[...]
+    idx_ref[...] = idxbuf[...]
+
+
+def _vis_resolve_table(tri_i32, tri_f32):
+    """(T, 32) i32 resolve rows for the visibility-buffer pass: the 12
+    edge ints + the 12 flat-color f32 coefficients (bitcast) the XLA
+    resolve needs — ONE aligned pow2-lane row-gather per pixel."""
+    ints = jnp.stack(
+        [tri_i32[:, c] for c in (
+            g.I_DX0, g.I_DY0, g.I_X1, g.I_Y1,
+            g.I_DX1, g.I_DY1, g.I_X2, g.I_Y2,
+            g.I_DX2, g.I_DY2, g.I_X0, g.I_Y0,
+        )], axis=1,
+    )
+    flts = jnp.stack(
+        [tri_f32[:, c] for c in (
+            g.F_RW0, g.F_RW1, g.F_RW2,
+            g.F_CR0, g.F_CR1, g.F_CR2,
+            g.F_CG0, g.F_CG1, g.F_CG2,
+            g.F_CB0, g.F_CB1, g.F_CB2,
+        )], axis=1,
+    )
+    t = tri_i32.shape[0]
+    return jnp.concatenate(
+        [ints, jax.lax.bitcast_convert_type(flts, jnp.int32),
+         jnp.zeros((t, 8), jnp.int32)], axis=1,
+    )
+
+
+def resolve_flat_vis(depth, idx, table):
+    """XLA resolve of the visibility buffer: recompute the winning
+    triangle's color at each pixel with EXACTLY the raster kernel's
+    arithmetic (int32 edge functions at pixel centers, f32 interpolation
+    FMAs, the spec's u8 rounding) — the output is bit-identical to the
+    single-pass kernel's packed color."""
+    h, w = idx.shape
+    rows = jnp.take(table, jnp.maximum(idx, 0).reshape(-1), axis=0)
+    rows = rows.reshape(h, w, table.shape[1])
+    ints = rows[..., :12]
+    flts = jax.lax.bitcast_convert_type(rows[..., 12:24], jnp.float32)
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = iy * g.SUBPIXEL + half
+    px = jx * g.SUBPIXEL + half
+    e0 = ints[..., 0] * (py - ints[..., 3]) - ints[..., 1] * (px - ints[..., 2])
+    e1 = ints[..., 4] * (py - ints[..., 7]) - ints[..., 5] * (px - ints[..., 6])
+    e2 = ints[..., 8] * (py - ints[..., 11]) - ints[..., 9] * (px - ints[..., 10])
+    ef0 = e0.astype(jnp.float32)
+    ef1 = e1.astype(jnp.float32)
+    ef2 = e2.astype(jnp.float32)
+    den = ef0 * flts[..., 0] + ef1 * flts[..., 1] + ef2 * flts[..., 2]
+    covered = (idx >= 0) & (den > 0)
+    inv = jnp.float32(1.0) / jnp.where(covered, den, jnp.float32(1.0))
+
+    def chan(k):
+        c0 = 3 + 3 * k
+        numer = (ef0 * flts[..., c0] + ef1 * flts[..., c0 + 1]
+                 + ef2 * flts[..., c0 + 2])
+        c = jnp.where(covered, numer * inv, jnp.float32(0.0))
+        c = jnp.clip(c, 0.0, 1.0)
+        q = jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5))
+        return q.astype(jnp.int32).astype(jnp.uint32)
+
+    a = jnp.full((h, w), 255, jnp.uint32)
+    return chan(0) | (chan(1) << 8) | (chan(2) << 16) | (a << 24)
+
+
+def rasterize_setup_pallas_vis(tri_i32, tri_f32, width: int, height: int,
+                               interpret: bool = False, compact: bool = True):
+    """Visibility-buffer raster for very large scenes: Pallas z+id pass,
+    then the XLA color resolve.  Same (packed color, depth) contract as
+    rasterize_setup_pallas_hbm, bit-identical output."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    tx = width // TILE_W
+    grid = (height // TILE_H, tx)
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+    del blocks  # block skip rides the bitmap words instead
+    table = _vis_resolve_table(tri_i32, tri_f32)
+    bits = prepare_group_bits(tri_i32, width, height)
+
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    depth, idx = _pallas_call(
+        _hbm_vis_bits_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # bitmap rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # superblock bboxes
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[tile_spec, tile_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((g.RASTER_BLOCK // 4, 128), jnp.int32),
+            pltpu.VMEM((g.RASTER_BLOCK // 2, 128), jnp.float32),
+            pltpu.SMEM((bits.shape[1],), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(bits.reshape(-1), supers, *_hbm_flat_inputs(tri_i32, tri_f32))
+    color = resolve_flat_vis(depth, idx, table)
+    return color, depth
+
+
+# Above this count the flat HBM path switches to the visibility-buffer
+# kernel: the XLA resolve pays a fixed ~6 ms row-gather at 1080p, which
+# the dropped per-visit interpolation work amortizes once scenes carry
+# hundreds of thousands of triangles.
+VIS_BUFFER_MIN_TRIS = 131072
 
 
 def rasterize_gbuffer_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
@@ -1036,7 +1444,10 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int):
     if pad:
         tri_i32 = jnp.concatenate(
             [tri_i32, jnp.zeros((pad, g.NI32), jnp.int32)
-             .at[:, g.I_JMIN].set(1)], axis=0
+             .at[:, g.I_JMIN].set(1)
+             .at[:, g.I_BIAS0].set(2**31 - 1)
+             .at[:, g.I_BIAS1].set(2**31 - 1)
+             .at[:, g.I_BIAS2].set(2**31 - 1)], axis=0
         )
         tri_f32 = jnp.concatenate(
             [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
@@ -1324,6 +1735,15 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         vertex_shader=vertex_shader,
     )
+    # NOTE on the visibility-buffer path (rasterize_setup_pallas_vis):
+    # measured on hardware at 1M triangles it is SLOWER than the
+    # single-pass HBM hierarchy kernel (377 ms plain / 580 ms with the
+    # precomputed hit-bitmap traversal vs 336 ms), because the
+    # per-(tile, triangle) cost is dominated by scalar loop/branch
+    # machinery, not by the interpolation vector ops the split removes —
+    # and the resolve pays a fixed ~40 ms wide-row gather at 1080p.  It
+    # stays available (bit-identical, tested) as the starting point for a
+    # sort-middle streamed-records raster; selection keeps the hierarchy.
     if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_setup_pallas_hbm
     elif binning == "tile_lists":
