@@ -1,0 +1,103 @@
+"""Probe: dynamic-offset 8-row band read-modify-write on VMEM scratch.
+
+Validates (a) Mosaic compiles `ref[pl.ds(rb, 8), :]` with an UNALIGNED
+traced sublane offset, (b) results are correct, and (c) the per-visit cost
+of band ops vs full-(32,128) ops — the premise of the band-raster
+optimization (docs/PERFORMANCE.md "per-visit cost" section).
+
+    python benchmarks/band_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H, TILE_W = 32, 128
+BAND_H = 8
+N_VISITS = 4096
+
+
+def _body_full(k, acc, buf, params):
+    a = params[k % 64, 0]
+    x = buf[...]
+    buf[...] = jnp.where(x < jnp.float32(a), x + jnp.float32(1.0), x)
+    return acc
+
+
+def _body_band(k, acc, buf, params):
+    a = params[k % 64, 0]
+    rb = jnp.minimum(k % 29, TILE_H - BAND_H)  # unaligned dynamic offset
+    x = buf[pl.ds(rb, BAND_H), :]
+    buf[pl.ds(rb, BAND_H), :] = jnp.where(
+        x < jnp.float32(a), x + jnp.float32(1.0), x)
+    return acc
+
+
+def _make(body, ops_per_visit):
+    def kernel(params_ref, out_ref, buf):
+        buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+        def step(k, acc):
+            for _ in range(ops_per_visit):
+                body(k, acc, buf, params_ref)
+            return acc
+
+        jax.lax.fori_loop(0, N_VISITS, step, 0)
+        out_ref[...] = buf[...]
+
+    @jax.jit
+    def run(params):
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((TILE_H, TILE_W), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        )(params)
+
+    return run
+
+
+def timeit(run, params):
+    out = np.asarray(run(params))  # compile + correctness materialize
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = run(params)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / 20)
+    return best, out
+
+
+def main():
+    params = jnp.arange(64, dtype=jnp.float32).reshape(64, 1) * 100
+    params = jnp.pad(params, ((0, 0), (0, 127)))
+    for name, body in (("full", _body_full), ("band", _body_band)):
+        for ops in (1, 4, 16):
+            run = _make(body, ops)
+            try:
+                t, out = timeit(run, params)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} x{ops}: FAILED {type(e).__name__}: {e}")
+                continue
+            per = t / (N_VISITS * ops) * 1e9
+            print(f"{name} x{ops}: {t*1e6:8.1f} us total, "
+                  f"{per:6.2f} ns/op  sum={float(out.sum()):.0f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
