@@ -70,9 +70,10 @@ def main() -> int:
     supers, blocks, ti, tf = rp.prepare_raster_inputs(ti, tf, compact=False)
     T = ti.shape[0]
 
-    # Transposed-path inputs: plain (T, 32)/(T, 64) rows + group bounds.
-    ti_t = jnp.pad(ti, ((0, 0), (0, 32 - g.NI32)))
-    tf_t = jnp.pad(tf, ((0, 0), (0, 64 - g.NF32)))
+    # Transposed-path inputs: one 128-lane row per record (HBM DMA slices
+    # must span full 128-lane rows) + group bounds packed 16 groups/row.
+    ti_t = jnp.pad(ti, ((0, 0), (0, 128 - g.NI32)))
+    tf_t = jnp.pad(tf, ((0, 0), (0, 128 - g.NF32)))
     ngroups = T // GROUP
     live = (ti[:, g.I_JMIN] <= ti[:, g.I_JMAX]) \
         & (ti[:, g.I_IMIN] <= ti[:, g.I_IMAX])
@@ -87,6 +88,8 @@ def main() -> int:
         seg(g.I_IMIN, big, True), seg(g.I_IMAX, -big, False),
     ], axis=1)
     gb = jnp.pad(gb, ((0, 0), (0, 4)))  # (ngroups, 8)
+    GPB = g.RASTER_BLOCK // GROUP  # groups per block (= 16)
+    gb = gb.reshape(ngroups // GPB, GPB * 8)  # one 128-lane row per block
 
     table = rp._vis_resolve_table(ti, tf)
     inputs = jax.block_until_ready(jax.device_put(
@@ -96,9 +99,8 @@ def main() -> int:
           flush=True)
 
     TILE_H, TILE_W = rp.TILE_H, rp.TILE_W
-    GPB = g.RASTER_BLOCK // GROUP  # groups per block
 
-    def make_kernel(R: int):
+    def make_kernel(R: int, STATIC_BANDS: bool = False):
         def kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, gb_hbm,
                    depth_ref, idx_ref,
                    zbuf, idxbuf, ti_buf, tf_buf, gb_buf, dma_sems):
@@ -127,10 +129,10 @@ def main() -> int:
             def visit_group(bk, q):
                 base = q * GROUP  # row base within the block slab
                 gid0 = bk * g.RASTER_BLOCK + base
-                jmin = gb_buf[q, 0]
-                jmax = gb_buf[q, 1]
-                imin = gb_buf[q, 2]
-                imax = gb_buf[q, 3]
+                jmin = gb_buf[0, q * 8 + 0]
+                jmax = gb_buf[0, q * 8 + 1]
+                imin = gb_buf[0, q * 8 + 2]
+                imax = gb_buf[0, q * 8 + 3]
 
                 @pl.when(tile_overlap(jmin, jmax, imin, imax))
                 def _():
@@ -162,6 +164,47 @@ def main() -> int:
 
                     lo = jnp.maximum(imin - row0, 0)
                     hi = jnp.minimum(imax - row0, TILE_H - 1)
+                    if STATIC_BANDS:
+                        # Static row bands: fully static aligned (R, 128)
+                        # framebuffer RMW, no dynamic-trip loops.  Each
+                        # band runs only when the group bbox touches it.
+                        for cc in range(TILE_H // R):
+                            band0 = cc * R
+
+                            @pl.when((hi >= band0) & (lo < band0 + R))
+                            def _(band0=band0):
+                                zrows = []
+                                idrows = []
+                                for rr in range(R):
+                                    py = (row0 + band0 + rr) * g.SUBPIXEL \
+                                        + half
+                                    e0 = dx0 * (py - y1) - tx0
+                                    e1 = dx1 * (py - y2) - tx1
+                                    e2 = dx2 * (py - y0) - tx2
+                                    cov = (e0 >= b0) & (e1 >= b1) & (e2 >= b2)
+                                    z = (e0.astype(jnp.float32) * za0
+                                         + e1.astype(jnp.float32) * za1
+                                         + e2.astype(jnp.float32) * za2)
+                                    zc = jnp.where(cov & (z >= 0.0), z,
+                                                   jnp.float32(2.0))
+                                    zmin = jnp.min(zc, axis=0, keepdims=True)
+                                    idw = jnp.min(
+                                        jnp.where(zc == zmin, ids,
+                                                  jnp.int32(0x7FFFFFFF)),
+                                        axis=0, keepdims=True)
+                                    zrows.append(zmin)
+                                    idrows.append(idw)
+                                znew = jnp.concatenate(zrows, axis=0)
+                                idnew = jnp.concatenate(idrows, axis=0)
+                                zb = zbuf[band0:band0 + R, :]
+                                upd = znew < zb
+                                zbuf[band0:band0 + R, :] = jnp.where(
+                                    upd, znew, zb)
+                                ib = idxbuf[band0:band0 + R, :]
+                                idxbuf[band0:band0 + R, :] = jnp.where(
+                                    upd, idnew, ib)
+                        return
+
                     nch = (hi - lo) // R + 1
 
                     def chunk(c, carry):
@@ -201,7 +244,7 @@ def main() -> int:
                     tf_hbm.at[pl.ds(bk * g.RASTER_BLOCK, g.RASTER_BLOCK), :],
                     tf_buf, dma_sems.at[1])
                 cp_g = pltpu.make_async_copy(
-                    gb_hbm.at[pl.ds(bk * GPB, GPB), :], gb_buf,
+                    gb_hbm.at[pl.ds(bk, 1), :], gb_buf,
                     dma_sems.at[2])
                 cp_i.start()
                 cp_f.start()
@@ -233,9 +276,9 @@ def main() -> int:
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
 
-    def make_call(R):
+    def make_call(R, static_bands=False):
         return rp._pallas_call(
-            make_kernel(R),
+            make_kernel(R, static_bands),
             grid=(H // TILE_H, W // TILE_W),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -252,9 +295,9 @@ def main() -> int:
             scratch_shapes=[
                 pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
                 pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
-                pltpu.VMEM((g.RASTER_BLOCK, 32), jnp.int32),
-                pltpu.VMEM((g.RASTER_BLOCK, 64), jnp.float32),
-                pltpu.VMEM((GPB, 8), jnp.int32),
+                pltpu.VMEM((g.RASTER_BLOCK, 128), jnp.int32),
+                pltpu.VMEM((g.RASTER_BLOCK, 128), jnp.float32),
+                pltpu.VMEM((1, GPB * 8), jnp.int32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         )
@@ -268,8 +311,14 @@ def main() -> int:
 
     ref_color, ref_depth = jax.block_until_ready(ref_run(ti, tf))
 
-    for R in (4, 8):
-        call = make_call(R)
+    if "--all-r" in sys.argv:
+        variants = [(4, False), (8, False), (8, True), (4, True)]
+    elif "--static" in sys.argv:
+        variants = [(8, True), (4, True)]
+    else:
+        variants = [(4, False)]
+    for R, static_bands in variants:
+        call = make_call(R, static_bands)
 
         @jax.jit
         def once(supers, blocks, ti_t, tf_t, gb, table):
@@ -281,12 +330,11 @@ def main() -> int:
             color, depth = jax.block_until_ready(
                 once(supers, blocks, ti_t, tf_t, gb, table))
         except Exception as e:  # noqa: BLE001
-            print(f"R={R}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                  flush=True)
+            print(f"R={R} sb={static_bands}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
         dmax = float(jnp.max(jnp.abs(depth - ref_depth)))
         cdiff = int(jnp.sum((color != ref_color).astype(jnp.int32)))
-        print(f"R={R}: depth max|diff|={dmax}  color px differing={cdiff}",
+        print(f"R={R} sb={static_bands}: depth max|diff|={dmax}  color px differing={cdiff}",
               flush=True)
 
         @jax.jit
@@ -316,7 +364,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 np.asarray(fn(*args))
                 best = min(best, (time.perf_counter() - t0) / reps)
-            print(f"R={R} {name:15s}: {best*1000:8.2f} ms/frame", flush=True)
+            print(f"R={R} sb={static_bands} {name:15s}: {best*1000:8.2f} ms/frame", flush=True)
 
     # Production baseline timing.
     @jax.jit
