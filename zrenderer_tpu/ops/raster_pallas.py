@@ -1070,6 +1070,254 @@ def rasterize_setup_pallas_vis(tri_i32, tri_f32, width: int, height: int,
 VIS_BUFFER_MIN_TRIS = 131072
 
 
+# ---------------------------------------------------------------------------
+# Transposed-group raster: triangles ride the SUBLANE dim.
+#
+# The per-(tile, triangle) cost of every kernel above is per-triangle
+# SCALAR machinery — 16-30 scalar VMEM reads each feeding a scalar->vector
+# splat, plus branch/loop overhead (~300+ ns/visit measured; the vector
+# math itself is ~2 ns marginal, benchmarks/band_probe.py).  This kernel
+# removes it: a group of TRANS_GROUP=8 consecutive triangles' setup
+# columns load as ALIGNED (8, 1) sublane vectors (zero scalar reads, zero
+# splats), edge functions for all 8 triangles evaluate at once over one
+# tile row as (8, 128) int32 ops — triangle index in SUBLANES, tile
+# column in LANES — and rows iterate over the group's union-bbox span in
+# TRANS_R-row chunks so tiny triangles don't pay full-tile evaluation.
+# The in-group depth merge is a cross-sublane min with a min-id tie rule
+# (== submission-order first-wins, since rows are in submission order).
+# Output is a visibility buffer (z + winning id); color resolves through
+# the exact XLA pass (resolve_flat_vis), bit-identical to the single-pass
+# kernels.  Measured at 1M triangles @1080p on v5e: 151 ms/frame vs the
+# HBM hierarchy kernel's 315 (benchmarks/trans_probe.py; static-row-band
+# and scatter/sub-band alternatives measured worse — see that probe and
+# docs/PERFORMANCE.md).
+#
+# Layout: HBM DMA row-slices must span full 128-lane rows, so each
+# triangle record is ONE 128-lane int row: lanes [0, NI32) the int setup,
+# lanes [TRANS_ZA, TRANS_ZA+3) the bitcast f32 z-plane coefficients (no
+# separate float buffer — halves the DMA).  Group union bboxes pack 16
+# groups x 8 lanes into one 128-lane row per RASTER_BLOCK.
+
+TRANS_GROUP = 8  # triangles per transposed group (= f32 sublane count)
+TRANS_R = 4      # rows per chunk of the group row loop (measured best)
+TRANS_ZA = 24    # lane base of the bitcast z-plane coefficients
+
+
+def prepare_trans_inputs(tri_i32, tri_f32, compact: bool = True):
+    """Pack setup for the transposed-group kernel: (supers, blocks,
+    ti128 (T, 128) i32, gbounds (T/RASTER_BLOCK, 128) i32, resolve
+    table)."""
+    supers, blocks, tri_i32, tri_f32 = prepare_raster_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+    t = tri_i32.shape[0]
+    za = jax.lax.bitcast_convert_type(
+        tri_f32[:, g.F_ZA0:g.F_ZA0 + 3], jnp.int32
+    )
+    ti128 = jnp.concatenate(
+        [tri_i32, jnp.zeros((t, TRANS_ZA - g.NI32), jnp.int32), za,
+         jnp.zeros((t, 128 - TRANS_ZA - 3), jnp.int32)], axis=1,
+    )
+
+    ngroups = t // TRANS_GROUP
+    live = (tri_i32[:, g.I_JMIN] <= tri_i32[:, g.I_JMAX]) \
+        & (tri_i32[:, g.I_IMIN] <= tri_i32[:, g.I_IMAX])
+    big = jnp.int32(1 << 29)
+
+    def seg(col, neutral, take_min):
+        v = jnp.where(live, tri_i32[:, col], neutral)
+        v = v.reshape(ngroups, TRANS_GROUP)
+        return v.min(axis=1) if take_min else v.max(axis=1)
+
+    gb = jnp.stack([
+        seg(g.I_JMIN, big, True), seg(g.I_JMAX, -big, False),
+        seg(g.I_IMIN, big, True), seg(g.I_IMAX, -big, False),
+    ], axis=1)
+    gb = jnp.pad(gb, ((0, 0), (0, 4)))  # (ngroups, 8)
+    gpb = g.RASTER_BLOCK // TRANS_GROUP  # groups per block (16)
+    gb = gb.reshape(ngroups // gpb, gpb * 8)  # one 128-lane row per block
+
+    table = _vis_resolve_table(tri_i32, tri_f32)
+    return supers, blocks, ti128, gb, table
+
+
+def _trans_vis_kernel(sup_ref, blk_ref, ti_hbm, gb_hbm, depth_ref, idx_ref,
+                      zbuf, idxbuf, ti_buf, gb_buf, dma_sems):
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    # Tile-column pixel x coordinates as one lane row (1, 128).
+    jx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    px_row = (col0 + jx) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    idxbuf[...] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+    def tile_overlap(jmin, jmax, imin, imax):
+        return ((jmax >= col0) & (jmin < col0 + TILE_W)
+                & (imax >= row0) & (imin < row0 + TILE_H)
+                & (jmin <= jmax) & (imin <= imax))
+
+    def visit_group(bk, q):
+        base = q * TRANS_GROUP  # row base within the block slab
+        gid0 = bk * g.RASTER_BLOCK + base
+        jmin = gb_buf[0, q * 8 + 0]
+        jmax = gb_buf[0, q * 8 + 1]
+        imin = gb_buf[0, q * 8 + 2]
+        imax = gb_buf[0, q * 8 + 3]
+
+        @pl.when(tile_overlap(jmin, jmax, imin, imax))
+        def _():
+            def col8(c):
+                return ti_buf[pl.ds(base, TRANS_GROUP), c:c + 1]
+
+            def colf(c):
+                return jax.lax.bitcast_convert_type(col8(c), jnp.float32)
+
+            x0 = col8(g.I_X0)
+            y0 = col8(g.I_Y0)
+            x1 = col8(g.I_X1)
+            y1 = col8(g.I_Y1)
+            x2 = col8(g.I_X2)
+            y2 = col8(g.I_Y2)
+            dx0 = col8(g.I_DX0)
+            dy0 = col8(g.I_DY0)
+            dx1 = col8(g.I_DX1)
+            dy1 = col8(g.I_DY1)
+            dx2 = col8(g.I_DX2)
+            dy2 = col8(g.I_DY2)
+            b0 = col8(g.I_BIAS0)
+            b1 = col8(g.I_BIAS1)
+            b2 = col8(g.I_BIAS2)
+            za0 = colf(TRANS_ZA + 0)
+            za1 = colf(TRANS_ZA + 1)
+            za2 = colf(TRANS_ZA + 2)
+            ids = gid0 + jax.lax.broadcasted_iota(
+                jnp.int32, (TRANS_GROUP, 1), 0
+            )
+
+            # Lane-parallel edge terms shared across all rows.
+            tx0 = dy0 * (px_row - x1)  # (8, 128)
+            tx1 = dy1 * (px_row - x2)
+            tx2 = dy2 * (px_row - x0)
+
+            lo = jnp.maximum(imin - row0, 0)
+            hi = jnp.minimum(imax - row0, TILE_H - 1)
+            nch = (hi - lo) // TRANS_R + 1
+
+            def chunk(c, carry):
+                rc = jnp.minimum(lo + c * TRANS_R, TILE_H - TRANS_R)
+                for rr in range(TRANS_R):
+                    py = (row0 + rc + rr) * g.SUBPIXEL + half
+                    e0 = dx0 * (py - y1) - tx0
+                    e1 = dx1 * (py - y2) - tx1
+                    e2 = dx2 * (py - y0) - tx2
+                    cov = (e0 >= b0) & (e1 >= b1) & (e2 >= b2)
+                    z = (e0.astype(jnp.float32) * za0
+                         + e1.astype(jnp.float32) * za1
+                         + e2.astype(jnp.float32) * za2)
+                    # Dead lanes (z<0 or no coverage) park at 2.0 > any zb.
+                    zc = jnp.where(cov & (z >= 0.0), z, jnp.float32(2.0))
+                    zmin = jnp.min(zc, axis=0, keepdims=True)
+                    # Min id among the z-tied sublanes == submission-order
+                    # first-wins (rows are in submission order).
+                    idw = jnp.min(
+                        jnp.where(zc == zmin, ids, jnp.int32(0x7FFFFFFF)),
+                        axis=0, keepdims=True,
+                    )
+                    zb = zbuf[pl.ds(rc + rr, 1), :]
+                    upd = zmin < zb
+                    zbuf[pl.ds(rc + rr, 1), :] = jnp.where(upd, zmin, zb)
+                    ib = idxbuf[pl.ds(rc + rr, 1), :]
+                    idxbuf[pl.ds(rc + rr, 1), :] = jnp.where(upd, idw, ib)
+                return carry
+
+            jax.lax.fori_loop(0, nch, chunk, 0)
+
+    def visit_block(bk):
+        cp_i = pltpu.make_async_copy(
+            ti_hbm.at[pl.ds(bk * g.RASTER_BLOCK, g.RASTER_BLOCK), :],
+            ti_buf, dma_sems.at[0],
+        )
+        cp_g = pltpu.make_async_copy(
+            gb_hbm.at[pl.ds(bk, 1), :], gb_buf, dma_sems.at[1],
+        )
+        cp_i.start()
+        cp_g.start()
+        cp_i.wait()
+        cp_g.wait()
+        for q in range(g.RASTER_BLOCK // TRANS_GROUP):
+            visit_group(bk, q)
+
+    def block_hit(bk):
+        return tile_overlap(blk_ref[bk, 0], blk_ref[bk, 1],
+                            blk_ref[bk, 2], blk_ref[bk, 3])
+
+    def super_hit(sb):
+        return tile_overlap(sup_ref[sb, 0], sup_ref[sb, 1],
+                            sup_ref[sb, 2], sup_ref[sb, 3])
+
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
+
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+    depth_ref[...] = zbuf[...]
+    idx_ref[...] = idxbuf[...]
+
+
+def rasterize_setup_pallas_trans(tri_i32, tri_f32, width: int, height: int,
+                                 interpret: bool = False,
+                                 compact: bool = True):
+    """Transposed-group visibility raster + exact XLA color resolve.
+    Same (packed color, depth) contract as rasterize_setup_pallas_hbm,
+    bit-identical output (verified at 10K and 1M triangles on hardware,
+    benchmarks/trans_probe.py)."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    supers, blocks, ti128, gbounds, table = prepare_trans_inputs(
+        tri_i32, tri_f32, compact=compact
+    )
+
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    depth, idx = _pallas_call(
+        _trans_vis_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # superblock bboxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # block bboxes
+            pl.BlockSpec(memory_space=pl.ANY),      # ti128 rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # group bounds (HBM)
+        ],
+        out_specs=[tile_spec, tile_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((g.RASTER_BLOCK, 128), jnp.int32),
+            pltpu.VMEM((1, (g.RASTER_BLOCK // TRANS_GROUP) * 8), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(supers, blocks, ti128, gbounds)
+    color = resolve_flat_vis(depth, idx, table)
+    return color, depth
+
+
+# Above this triangle-slot count the flat path uses the transposed-group
+# kernel: its fixed resolve gather (~7 ms at 1080p) amortizes once the
+# per-triangle scalar machinery it removes dominates.  Measured: slower
+# at 10K (34 vs 21 ms), 2.1x faster at 1M (158 vs 315 ms).
+TRANS_MIN_TRIS = 262144
+
+
 def rasterize_gbuffer_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
                                  interpret: bool = False,
                                  compact: bool = True):
@@ -1735,16 +1983,19 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         vertex_shader=vertex_shader,
     )
-    # NOTE on the visibility-buffer path (rasterize_setup_pallas_vis):
-    # measured on hardware at 1M triangles it is SLOWER than the
-    # single-pass HBM hierarchy kernel (377 ms plain / 580 ms with the
-    # precomputed hit-bitmap traversal vs 336 ms), because the
-    # per-(tile, triangle) cost is dominated by scalar loop/branch
-    # machinery, not by the interpolation vector ops the split removes —
-    # and the resolve pays a fixed ~40 ms wide-row gather at 1080p.  It
-    # stays available (bit-identical, tested) as the starting point for a
-    # sort-middle streamed-records raster; selection keeps the hierarchy.
-    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+    # NOTE on the per-TRIANGLE visibility-buffer path
+    # (rasterize_setup_pallas_vis): measured on hardware at 1M triangles
+    # it is SLOWER than the single-pass HBM hierarchy kernel (377 ms
+    # plain / 580 ms with the precomputed hit-bitmap traversal vs 336 ms),
+    # because the per-(tile, triangle) cost is dominated by scalar
+    # loop/branch machinery, not by the interpolation vector ops the
+    # split removes.  The TRANSPOSED-group visibility kernel
+    # (rasterize_setup_pallas_trans) removes that scalar machinery —
+    # 8 triangles per aligned sublane-vector load — and wins 2.1x at 1M
+    # (151 ms kernel vs 315); very large scenes select it.
+    if tri_i32.shape[0] > TRANS_MIN_TRIS:
+        raster = rasterize_setup_pallas_trans
+    elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_setup_pallas_hbm
     elif binning == "tile_lists":
         raster = rasterize_setup_pallas_binned
