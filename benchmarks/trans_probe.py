@@ -2,6 +2,15 @@
 lanes — against the production HBM hierarchy kernel at large triangle
 counts.
 
+OUTCOME (measured, v5e, 1M tris @1080p): NEGATIVE.  The transposed
+kernel costs ~433 ms + ~124 ms resolve vs the scalar hierarchy kernel's
+336 ms total; the static-row-band variant ~750 ms.  Early runs of this
+probe reported 3x better numbers because the timing scans were
+loop-invariant and XLA LICM-hoisted the pallas call out of the scan
+(custom-call sits in ENTRY in the compiled HLO; total time constant in
+reps).  The loops below now tie the carry to the kernel inputs with
+optimization_barrier; see docs/PERFORMANCE.md "Benchmark traps".
+
 The production kernels pay ~300+ ns per (tile, triangle) visit, and the
 probes show why: the cost is per-triangle SCALAR machinery (16-30 scalar
 reads each feeding a scalar->vector splat, plus loop/branch overhead),
@@ -337,20 +346,30 @@ def main() -> int:
         print(f"R={R} sb={static_bands}: depth max|diff|={dmax}  color px differing={cdiff}",
               flush=True)
 
+        # CRITICAL: tie the scan carry to the kernel inputs each step with
+        # an optimization_barrier — XLA LICM-hoists loop-invariant pallas
+        # calls out of the scan (the kernel runs ONCE regardless of reps,
+        # verified in compiled HLO), silently dividing measured times.
         @jax.jit
         def run(supers, blocks, ti_t, tf_t, gb, table):
             def step(c, _):
-                depth, idx = call(supers, blocks, ti_t, tf_t, gb)
-                color = rp.resolve_flat_vis(depth, idx, table)
-                return c + depth[0, 0] + color[0, 0].astype(jnp.float32), None
+                a = jax.lax.optimization_barrier(
+                    (c, supers, blocks, ti_t, tf_t, gb, table))
+                c2, s, bl, t_i, t_f, g2, tab = a
+                depth, idx = call(s, bl, t_i, t_f, g2)
+                color = rp.resolve_flat_vis(depth, idx, tab)
+                return c2 + depth[0, 0] + color[0, 0].astype(jnp.float32), None
             out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
             return out
 
         @jax.jit
         def run_nores(supers, blocks, ti_t, tf_t, gb):
             def step(c, _):
-                depth, idx = call(supers, blocks, ti_t, tf_t, gb)
-                return c + depth[0, 0] + idx[0, 0].astype(jnp.float32), None
+                a = jax.lax.optimization_barrier(
+                    (c, supers, blocks, ti_t, tf_t, gb))
+                c2, s, bl, t_i, t_f, g2 = a
+                depth, idx = call(s, bl, t_i, t_f, g2)
+                return c2 + depth[0, 0] + idx[0, 0].astype(jnp.float32), None
             out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
             return out
 
@@ -370,9 +389,10 @@ def main() -> int:
     @jax.jit
     def run_ref(ti, tf):
         def step(c, _):
+            c2, ti2, tf2 = jax.lax.optimization_barrier((c, ti, tf))
             color, depth = rp.rasterize_setup_pallas_hbm(
-                ti, tf, W, H, compact=False)
-            return c + depth[0, 0] + color[0, 0].astype(jnp.float32), None
+                ti2, tf2, W, H, compact=False)
+            return c2 + depth[0, 0] + color[0, 0].astype(jnp.float32), None
         out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
         return out
 

@@ -1087,10 +1087,20 @@ VIS_BUFFER_MIN_TRIS = 131072
 # (== submission-order first-wins, since rows are in submission order).
 # Output is a visibility buffer (z + winning id); color resolves through
 # the exact XLA pass (resolve_flat_vis), bit-identical to the single-pass
-# kernels.  Measured at 1M triangles @1080p on v5e: 151 ms/frame vs the
-# HBM hierarchy kernel's 315 (benchmarks/trans_probe.py; static-row-band
-# and scatter/sub-band alternatives measured worse — see that probe and
-# docs/PERFORMANCE.md).
+# kernels.
+#
+# MEASURED NEGATIVE RESULT (kept as a tested experiment, not selected):
+# at 1M triangles @1080p on v5e the kernel costs ~433 ms + ~124 ms
+# resolve vs the scalar HBM hierarchy kernel's 336 ms total — the
+# per-row cross-sublane z/id merges and dynamic single-row framebuffer
+# RMWs cost more than the per-triangle scalar reads they replace.  The
+# static-row-band variant is ~1.7x worse still (row over-evaluation),
+# and scatter/sub-band alternatives lose by larger margins
+# (benchmarks/trans_probe.py, docs/PERFORMANCE.md).  Timing caveat that
+# initially hid this: loop-invariant scan benchmarks are LICM-hoisted by
+# XLA (the pallas call runs ONCE regardless of scan length) — honest
+# numbers need jax.lax.optimization_barrier tying the carry to the
+# kernel inputs each step.
 #
 # Layout: HBM DMA row-slices must span full 128-lane rows, so each
 # triangle record is ONE 128-lane int row: lanes [0, NI32) the int setup,
@@ -1311,11 +1321,10 @@ def rasterize_setup_pallas_trans(tri_i32, tri_f32, width: int, height: int,
     return color, depth
 
 
-# Above this triangle-slot count the flat path uses the transposed-group
-# kernel: its fixed resolve gather (~7 ms at 1080p) amortizes once the
-# per-triangle scalar machinery it removes dominates.  Measured: slower
-# at 10K (34 vs 21 ms), 2.1x faster at 1M (158 vs 315 ms).
-TRANS_MIN_TRIS = 262144
+# Selection threshold if the transposed path ever wins (kept for the
+# experiment's API; currently never reached — the scalar HBM hierarchy
+# kernel is faster at every measured size, see the negative result above).
+TRANS_MIN_TRIS = 1 << 62
 
 
 def rasterize_gbuffer_pallas_hbm(tri_i32, tri_f32, width: int, height: int,
@@ -1983,19 +1992,23 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         vertex_shader=vertex_shader,
     )
-    # NOTE on the per-TRIANGLE visibility-buffer path
-    # (rasterize_setup_pallas_vis): measured on hardware at 1M triangles
-    # it is SLOWER than the single-pass HBM hierarchy kernel (377 ms
-    # plain / 580 ms with the precomputed hit-bitmap traversal vs 336 ms),
-    # because the per-(tile, triangle) cost is dominated by scalar
-    # loop/branch machinery, not by the interpolation vector ops the
-    # split removes.  The TRANSPOSED-group visibility kernel
-    # (rasterize_setup_pallas_trans) removes that scalar machinery —
-    # 8 triangles per aligned sublane-vector load — and wins 2.1x at 1M
-    # (151 ms kernel vs 315); very large scenes select it.
-    if tri_i32.shape[0] > TRANS_MIN_TRIS:
-        raster = rasterize_setup_pallas_trans
-    elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+    # NOTE on the alternative large-scene kernels — both measured SLOWER
+    # than the single-pass HBM hierarchy kernel at 1M triangles and kept
+    # only as tested, bit-identical experiments:
+    # * per-TRIANGLE visibility split (rasterize_setup_pallas_vis):
+    #   377 ms plain / 580 ms with the hit-bitmap traversal vs 336 ms —
+    #   the per-(tile, triangle) cost is scalar loop/branch machinery,
+    #   which the split does not remove;
+    # * TRANSPOSED-group visibility kernel
+    #   (rasterize_setup_pallas_trans): ~433 ms kernel + ~124 ms resolve
+    #   vs 336 ms total.  Replacing the per-triangle scalar reads with
+    #   aligned (8,1) sublane-vector loads did NOT pay: the per-row
+    #   cross-sublane z/id merges + dynamic row RMW cost more than the
+    #   scalar machinery they replace (honest barrier'd-scan timing;
+    #   CAUTION: un-barrier'd loop-invariant scan benchmarks are
+    #   LICM-hoisted by XLA and read reps-times too fast — see
+    #   docs/PERFORMANCE.md "Benchmark traps").
+    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_setup_pallas_hbm
     elif binning == "tile_lists":
         raster = rasterize_setup_pallas_binned
