@@ -67,6 +67,192 @@ def main() -> int:
     TILE_H, TILE_W = rp.TILE_H, rp.TILE_W
     I32L, F32L = rp.I32_LANES, rp.F32_LANES
 
+    def make_bits_kernel(mode: str, unroll: int):
+        """Hybrid traversal: precomputed per-(tile, group) hit bitmap for
+        the group skip (1 SMEM word per block replaces 16x4 scalar bbox
+        reads) + per-TRIANGLE bbox branches inside hit groups (so bodies
+        only run for genuinely overlapping triangles, unlike the old
+        all-8-unconditional bits kernel that lost on body cost)."""
+        def kernel(bits_hbm, sup_ref, ti_hbm, tf_hbm, out_ref,
+                   zbuf, ti_buf, tf_buf, bits_smem, dma_sems):
+            tile_i = pl.program_id(0)
+            tile_j = pl.program_id(1)
+            tile_idx = tile_i * pl.num_programs(1) + tile_j
+            row0 = tile_i * TILE_H
+            col0 = tile_j * TILE_W
+            half = g.SUBPIXEL // 2
+            iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+            py = (row0 + iy) * g.SUBPIXEL + half
+            px = (col0 + ix) * g.SUBPIXEL + half
+            zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+
+            nwords = bits_smem.shape[0]
+            cp_bits = pltpu.make_async_copy(
+                bits_hbm.at[pl.ds(tile_idx * nwords, nwords)], bits_smem,
+                dma_sems.at[2])
+            cp_bits.start()
+            cp_bits.wait()
+
+            def tile_overlap(jmin, jmax, imin, imax):
+                return ((jmax >= col0) & (jmin < col0 + TILE_W)
+                        & (imax >= row0) & (imin < row0 + TILE_H)
+                        & (jmin <= jmax) & (imin <= imax))
+
+            def body(base4, u, overlap):
+                ir = base4 + u // 4
+                il = (u % 4) * I32L
+                fr2 = 2 * base4 + u // 2
+                fl = (u % 2) * F32L
+                e0 = ti_buf[ir, il + g.I_DX0] * (py - ti_buf[ir, il + g.I_Y1]) \
+                    - ti_buf[ir, il + g.I_DY0] * (px - ti_buf[ir, il + g.I_X1])
+                e1 = ti_buf[ir, il + g.I_DX1] * (py - ti_buf[ir, il + g.I_Y2]) \
+                    - ti_buf[ir, il + g.I_DY1] * (px - ti_buf[ir, il + g.I_X2])
+                e2 = ti_buf[ir, il + g.I_DX2] * (py - ti_buf[ir, il + g.I_Y0]) \
+                    - ti_buf[ir, il + g.I_DY2] * (px - ti_buf[ir, il + g.I_X0])
+                cov = ((e0 >= ti_buf[ir, il + g.I_BIAS0])
+                       & (e1 >= ti_buf[ir, il + g.I_BIAS1])
+                       & (e2 >= ti_buf[ir, il + g.I_BIAS2]))
+                z = (e0.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA0]
+                     + e1.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA1]
+                     + e2.astype(jnp.float32) * tf_buf[fr2, fl + g.F_ZA2])
+                zb = zbuf[...]
+                ok = cov & (z >= 0.0) & (z < zb) & overlap
+                zbuf[...] = jnp.where(ok, z, zb)
+
+            rows_i = g.RASTER_BLOCK // 4
+            rows_f = g.RASTER_BLOCK // 2
+            gpb = g.RASTER_BLOCK // 8  # groups (of 8) per block = 16
+
+            def block_word(bk):
+                word = bits_smem[bk // 2]
+                shift = (bk % 2) * 16
+                return (word >> shift) & 0xFFFF
+
+            def visit_block(bk, word16):
+                cp_i = pltpu.make_async_copy(
+                    ti_hbm.at[pl.ds(bk * rows_i, rows_i), :], ti_buf,
+                    dma_sems.at[0])
+                cp_f = pltpu.make_async_copy(
+                    tf_hbm.at[pl.ds(bk * rows_f, rows_f), :], tf_buf,
+                    dma_sems.at[1])
+                cp_i.start()
+                cp_f.start()
+                cp_i.wait()
+                cp_f.wait()
+                for q in range(gpb):
+                    @pl.when(((word16 >> q) & 1) != 0)
+                    def _(q=q):
+                        base4 = q * 2  # 8 triangles = 2 int rows
+                        hits = []
+                        for u in range(8):
+                            ir = base4 + u // 4
+                            il = (u % 4) * I32L
+                            hits.append(tile_overlap(
+                                ti_buf[ir, il + g.I_JMIN],
+                                ti_buf[ir, il + g.I_JMAX],
+                                ti_buf[ir, il + g.I_IMIN],
+                                ti_buf[ir, il + g.I_IMAX]))
+                        if mode == "bits_scan":
+                            any_hit = hits[0]
+                            for hb in hits[1:]:
+                                any_hit = any_hit | hb
+
+                            @pl.when(any_hit)
+                            def _():
+                                zbuf[0:1, :] = zbuf[0:1, :] + 1.0
+                        else:
+                            for u in range(8):
+                                body(base4, u, hits[u])
+
+            def super_hit(sb):
+                return tile_overlap(sup_ref[sb, 0], sup_ref[sb, 1],
+                                    sup_ref[sb, 2], sup_ref[sb, 3])
+
+            def visit_super(sb):
+                rp._scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                                lambda bk: block_word(bk) != 0,
+                                lambda bk: visit_block(bk, block_word(bk)))
+
+            rp._scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+            out_ref[...] = zbuf[...]
+
+        return kernel
+
+    def run_bits_variant(name, mode, unroll=8):
+        bits = jax.block_until_ready(
+            rp.prepare_group_bits(ti, W, H))
+        nwords = bits.shape[1]
+        kernel = make_bits_kernel(mode, unroll)
+        call = rp._pallas_call(
+            kernel,
+            grid=(H // TILE_H, W // TILE_W),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+                pltpu.VMEM((g.RASTER_BLOCK // 4, 128), jnp.int32),
+                pltpu.VMEM((g.RASTER_BLOCK // 2, 128), jnp.float32),
+                pltpu.SMEM((nwords,), jnp.int32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+
+        @jax.jit
+        def run(bits_flat, supers, ti_p, tf_p):
+            def step(c, _):
+                a = jax.lax.optimization_barrier(
+                    (c, bits_flat, supers, ti_p, tf_p))
+                c2, bf, s, t_i, t_f = a
+                (z,) = call(bf, s, t_i, t_f)
+                return c2 + z[0, 0] + z[H // 2, W // 2], None
+            out, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                  jnp.arange(reps))
+            return out
+
+        @jax.jit
+        def run_build(ti):
+            def step(c, _):
+                c2, ti2 = jax.lax.optimization_barrier((c, ti))
+                bits2 = rp.prepare_group_bits(ti2, W, H)
+                return c2 + bits2[0, 0].astype(jnp.float32), None
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
+            return out
+
+        bits_flat = bits.reshape(-1)
+        try:
+            t0 = time.perf_counter()
+            v = float(np.asarray(run(bits_flat, supers, ti_p, tf_p)))
+            compile_s = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            return None
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(bits_flat, supers, ti_p, tf_p))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        print(f"{name:24s}: {best*1000:8.2f} ms/frame  "
+              f"(compile {compile_s:.0f}s, v={v:.1f})", flush=True)
+        if mode == "bits_scan":
+            np.asarray(run_build(ti))
+            bb = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run_build(ti))
+                bb = min(bb, (time.perf_counter() - t0) / reps)
+            print(f"{'bits build (XLA)':24s}: {bb*1000:8.2f} ms/frame",
+                  flush=True)
+        return best * 1000
+
     def make_kernel(mode: str, unroll: int, dbuf: bool = False):
         def kernel(sup_ref, blk_ref, ti_hbm, tf_hbm, out_ref,
                    zbuf, ti_buf, tf_buf, dma_sems):
@@ -231,11 +417,18 @@ def main() -> int:
             ],
         )
 
+        # optimization_barrier ties the carry to the kernel inputs:
+        # without it XLA LICM-hoists the loop-invariant pallas call out
+        # of the scan and the measurement reads reps-times too fast
+        # (docs/PERFORMANCE.md "Benchmark traps").
         @jax.jit
         def run(supers, blocks, ti_p, tf_p):
             def step(c, _):
-                (z,) = call(supers, blocks, ti_p, tf_p)
-                return c + z[0, 0] + z[H // 2, W // 2], None
+                a = jax.lax.optimization_barrier(
+                    (c, supers, blocks, ti_p, tf_p))
+                c2, s, bl, t_i, t_f = a
+                (z,) = call(s, bl, t_i, t_f)
+                return c2 + z[0, 0] + z[H // 2, W // 2], None
             out, _ = jax.lax.scan(step, jnp.float32(0.0),
                                   jnp.arange(reps))
             return out
@@ -257,6 +450,10 @@ def main() -> int:
               f"(compile {compile_s:.0f}s, v={v:.1f})", flush=True)
         return best * 1000
 
+    if "--bits" in sys.argv:
+        run_bits_variant("bits scan (no bodies)", "bits_scan")
+        run_bits_variant("bits full u8", "bits_full")
+        return 0
     run_variant("dma-only", "dma", 8)
     run_variant("scan (no bodies)", "scan", 8)
     run_variant("full u8 (production)", "full", 8)
