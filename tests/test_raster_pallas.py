@@ -267,18 +267,21 @@ def test_binned_raster_matches_oracle():
         flat.vert_node, W, H,
     )
     # The workload must exercise BOTH phases: listed and hierarchy rows.
+    # A small explicit cap forces the blown-up triangles into phase 2
+    # (with the auto cap every bbox fits this tiny 3x4-tile frame).
+    cap = 4
     n_input = ti.shape[0] // g.FAN_SLOTS
     head = ti[:n_input]
     ntx = head[:, g.I_JMAX] // 128 - head[:, g.I_JMIN] // 128 + 1
     nty = head[:, g.I_IMAX] // 32 - head[:, g.I_IMIN] // 32 + 1
     valid = head[:, g.I_VALID] > 0
-    listed = valid & (ntx <= rp.BIN_WX) & (nty <= rp.BIN_WY)
+    listed = valid & (ntx * nty <= cap)
     assert listed.sum() > 50, "need listed triangles"
-    assert (valid & ~listed).sum() > 5, "need window-exceeding triangles"
+    assert (valid & ~listed).sum() > 5, "need cap-exceeding triangles"
     assert (ti[n_input:, g.I_VALID] > 0).sum() > 0, "need clipped fan rows"
 
     color, depth = rp.rasterize_setup_pallas_binned(
-        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True, cap=cap
     )
     img = np.asarray(rp.unpack_rgba8(color))
 
@@ -299,3 +302,92 @@ def test_binned_raster_matches_oracle():
     assert (depth_cpu < 1).mean() > 0.3
     np.testing.assert_allclose(np.asarray(depth), depth_cpu, atol=2e-6)
     assert np.abs(img.astype(int) - img_cpu.astype(int)).max() <= 1
+
+
+def test_binned_gbuffer_matches_vmem_gbuffer():
+    """The per-tile-list G-buffer kernel agrees with the hierarchy G-buffer
+    kernel on every plane (depth/color/uv/normals/material constants) on a
+    multi-tile frame with overlap and clipped rows."""
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    W, H = 256, 64  # 2x2 tiles
+    scene, mesh_data = make_triangle_soup(
+        120, seed=7, extent=2.0, behind_camera_fraction=0.1
+    )
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+    mat_table = np.zeros((flat.draw_count, g.MATERIAL_COLS), np.float32)
+    mat_table[0] = (1.0, 0.2, 0.0, 0.1, 0.0, 1.0)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H, material_table=mat_table,
+    )
+    ref = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )]
+    binned = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas_binned(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True, cap=2
+    )]
+    assert (ref[1] < 1.0).mean() > 0.02, "scene unexpectedly empty"
+    for a, b in zip(ref, binned):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_binned_depth_matches_depth_kernel():
+    """The per-tile-list depth-only kernel (binned shadow pass) is
+    bit-identical to the hierarchy depth kernel."""
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    W, H = 256, 64
+    scene, mesh_data = make_triangle_soup(
+        80, seed=9, extent=2.0, behind_camera_fraction=0.1
+    )
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    ref = rp.rasterize_depth_pallas(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    binned = rp.rasterize_depth_pallas_binned(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True, cap=2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref).view(np.uint32), np.asarray(binned).view(np.uint32)
+    )
+    assert (np.asarray(ref) < 1.0).mean() > 0.01
+
+
+def test_bin_cap_auto_lists_everything_small_scene():
+    """With the auto cap, every valid head triangle of the 120-tri test
+    scene is listed (nothing rides the leftover hierarchy) — the property
+    that makes tile_lists the small-scene default."""
+    W, H = 1920, 1088  # the headline target (padded), large cube faces
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    cap = rp.bin_cap_for(g.head_count(ti.shape[0]))
+    n_input = g.head_count(ti.shape[0])
+    head = ti[:n_input]
+    valid = head[:, g.I_VALID] > 0
+    ntx = head[:, g.I_JMAX] // rp.TILE_W - head[:, g.I_JMIN] // rp.TILE_W + 1
+    nty = head[:, g.I_IMAX] // rp.TILE_H - head[:, g.I_IMIN] // rp.TILE_H + 1
+    assert valid.sum() > 5  # backface culling leaves the front faces
+    assert ((ntx * nty)[valid] <= cap).all(), (
+        "auto cap leaves head triangles in the leftover hierarchy"
+    )

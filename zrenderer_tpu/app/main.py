@@ -60,6 +60,10 @@ def main(argv=None) -> int:
     parser.add_argument("--ui", action="store_true",
                         help="full imgui-window UI (stats + scene outliner "
                              "windows) instead of the simple overlay panel")
+    parser.add_argument("--binning", default="auto",
+                        choices=["auto", "hierarchy", "tile_lists"],
+                        help="raster binning strategy (tile_lists = per-tile "
+                             "sorted triangle lists, wins on dense soups)")
     parser.add_argument("--debug", action="store_true",
                         help="interpret-mode kernels (the debug layer)")
     parser.add_argument("--trace", default=None,
@@ -80,7 +84,7 @@ def main(argv=None) -> int:
 
     config = RenderConfig(
         width=args.width, height=args.height, backend=args.backend,
-        pipeline=args.pipeline, debug=args.debug,
+        pipeline=args.pipeline, debug=args.debug, binning=args.binning,
     )
     renderer = Renderer(config)
     renderer.load_scene(scene, mesh_data)

@@ -27,10 +27,12 @@ class RenderConfig:
     # BASELINE.json configs: "flat" (0), "lit" (1), "shadowed" (2),
     # "deferred" (3)
     pipeline: str = "flat"
-    # Raster binning: "hierarchy" (union-bbox skip, best for spatially
-    # ordered content) or "tile_lists" (per-tile sorted lists, ~17x faster
-    # on dense unordered scenes — ops/raster_pallas.py).
-    binning: str = "hierarchy"
+    # Raster binning: "hierarchy" (union-bbox block/superblock skip),
+    # "tile_lists" (per-tile sorted lists — each tile loops only its own
+    # triangles), or "auto" (tile_lists for small/medium VMEM-resident
+    # scenes, hierarchy above — ops/raster_pallas.py, measured in
+    # docs/PERFORMANCE.md).
+    binning: str = "auto"
     shadow_size: int = 1024
     # Shadow quality (config 2): constant + slope-scaled depth bias and the
     # PCF kernel radius ((2*taps+1)^2 taps).

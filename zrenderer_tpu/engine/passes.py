@@ -24,7 +24,8 @@ from zrenderer_tpu.ops import raster_pallas, raster_xla, sampling, shading
 
 
 def _gbuffer(backend, b, matrices, normal_mats, width, height,
-             pad_height, pad_width, interpret, vertex_shader=None):
+             pad_height, pad_width, interpret, vertex_shader=None,
+             binning="auto"):
     """Returns (rgba, depth, u, v, nx, ny, nz, met, rgh, em r/g/b, tex) —
     per-pixel uv/normal interpolants plus the winning draw's material
     constants and texture layer (the per-draw SRV/material binding analog,
@@ -36,7 +37,7 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
             b["positions"], b["attrs"], b["tri_vidx"], matrices,
             b["vert_node"], normal_mats, width, height,
             pad_height, pad_width, interpret=interpret, material_table=mat,
-            vertex_shader=vertex_shader,
+            vertex_shader=vertex_shader, binning=binning,
         )
         return [raster_pallas.unpack_rgba8(outs[0])] + list(outs[1:])
     ti, tf = g.geometry_pipeline(
@@ -47,13 +48,14 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
     return list(raster_xla.rasterize_gbuffer_xla(ti, tf, width, height))
 
 
-def _depth_only(backend, b, light_matrices, size, interpret):
+def _depth_only(backend, b, light_matrices, size, interpret,
+                binning="auto"):
     """Depth-only pass from the light's view (the shadow-map pass)."""
     sw = sh = size
     if backend == "pallas":
         depth = raster_pallas.render_depth_pallas(
             b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
-            b["vert_node"], sw, sh, interpret=interpret,
+            b["vert_node"], sw, sh, interpret=interpret, binning=binning,
         )
     else:
         _, depth = raster_xla.render_frame_xla(
@@ -85,7 +87,8 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
 
 
 def build_lit_frame(backend, width, height, pad_height, pad_width,
-                    texture, interpret=False, vertex_shader=None):
+                    texture, interpret=False, vertex_shader=None,
+                    binning="auto"):
     """Config 1: textured + Blinn-Phong point light, Z-buffered.
 
     Materials modulate the Blinn-Phong knobs per pixel (roughness ->
@@ -102,7 +105,7 @@ def build_lit_frame(backend, width, height, pad_height, pad_width,
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret, vertex_shader,
+            pad_height, pad_width, interpret, vertex_shader, binning,
         )
         covered = depth < 1.0
         albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
@@ -124,7 +127,7 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
                          texture, shadow_size=1024, interpret=False,
                          shadow_bias=2e-3, shadow_slope_bias=3e-3,
                          pcf_taps=1, vertex_shader=None,
-                         shadow_lookup_stride=1):
+                         shadow_lookup_stride=1, binning="auto"):
     """Config 2: directional light shadow map (depth-only pass + PCF)."""
 
     th, tw = int(texture.base_shape[0]), int(texture.base_shape[1])
@@ -136,12 +139,12 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
               cam_pos, light_matrices, light_view_proj, light_dir,
               light_color):
         shadow_depth = _depth_only(
-            backend, b, light_matrices, shadow_size, interpret
+            backend, b, light_matrices, shadow_size, interpret, binning
         )
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret, vertex_shader,
+            pad_height, pad_width, interpret, vertex_shader, binning,
         )
         covered = depth < 1.0
         albedo = _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer,
@@ -172,7 +175,7 @@ def build_shadowed_frame(backend, width, height, pad_height, pad_width,
 
 def build_deferred_frame(backend, width, height, pad_height, pad_width,
                          interpret=False, vertex_shader=None,
-                         lighting_planes="f32"):
+                         lighting_planes="f32", binning="auto"):
     """Config 3: deferred G-buffer + GGX lighting with many point lights.
 
     Per-draw materials drive the BRDF per pixel: metallic/roughness planes
@@ -187,7 +190,7 @@ def build_deferred_frame(backend, width, height, pad_height, pad_width,
         (rgba, depth, u, v, nx, ny, nz,
          met, rgh, emr, emg, emb, tex_layer) = _gbuffer(
             backend, b, matrices, normal_mats, width, height,
-            pad_height, pad_width, interpret, vertex_shader,
+            pad_height, pad_width, interpret, vertex_shader, binning,
         )
         covered = depth < 1.0
         albedo = rgba[..., :3].astype(jnp.float32) / 255.0

@@ -284,7 +284,8 @@ class Renderer:
             if cfg.pipeline == "lit":
                 return passes.build_lit_frame(*args, self.texture,
                                               interpret=cfg.debug,
-                                              vertex_shader=vs)
+                                              vertex_shader=vs,
+                                              binning=cfg.binning)
             if cfg.pipeline == "shadowed":
                 return passes.build_shadowed_frame(
                     *args, self.texture, shadow_size=cfg.shadow_size,
@@ -294,11 +295,13 @@ class Renderer:
                     pcf_taps=cfg.pcf_taps,
                     vertex_shader=vs,
                     shadow_lookup_stride=cfg.shadow_lookup_stride,
+                    binning=cfg.binning,
                 )
             if cfg.pipeline == "deferred":
                 return passes.build_deferred_frame(
                     *args, interpret=cfg.debug, vertex_shader=vs,
-                    lighting_planes=cfg.lighting_planes)
+                    lighting_planes=cfg.lighting_planes,
+                    binning=cfg.binning)
             raise ValueError(f"unknown pipeline {cfg.pipeline!r}")
 
         def build():

@@ -1537,7 +1537,8 @@ def rasterize_depth_pallas(tri_i32, tri_f32, width: int, height: int,
 
 def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                         width: int, height: int,
-                        interpret: bool = False, vertex_shader=None):
+                        interpret: bool = False, vertex_shader=None,
+                        binning: str = "auto"):
     """Geometry pipeline + depth-only raster (the shadow-map pass).
     width/height must be tile multiples (shadow maps are pow2).  Scenes
     past the VMEM triangle budget fall back to the HBM-streaming kernel
@@ -1551,6 +1552,10 @@ def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
             tri_i32, tri_f32, width, height, interpret=interpret
         )
         return depth
+    if _use_tile_lists(binning, tri_i32.shape[0]):
+        return rasterize_depth_pallas_binned(
+            tri_i32, tri_f32, width, height, interpret=interpret
+        )
     return rasterize_depth_pallas(
         tri_i32, tri_f32, width, height, interpret=interpret
     )
@@ -1641,18 +1646,19 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                           width: int, height: int,
                           pad_height: int, pad_width: int,
                           interpret: bool = False, material_table=None,
-                          vertex_shader=None):
+                          vertex_shader=None, binning: str = "auto"):
     """Geometry pipeline + G-buffer raster; crops to the true viewport."""
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         normal_matrices=normal_matrices, material_table=material_table,
         vertex_shader=vertex_shader,
     )
-    raster = (
-        rasterize_gbuffer_pallas
-        if tri_i32.shape[0] <= VMEM_RESIDENT_MAX_TRIS
-        else rasterize_gbuffer_pallas_hbm
-    )
+    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+        raster = rasterize_gbuffer_pallas_hbm
+    elif _use_tile_lists(binning, tri_i32.shape[0]):
+        raster = rasterize_gbuffer_pallas_binned
+    else:
+        raster = rasterize_gbuffer_pallas
     outs = raster(
         tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
     )
@@ -1667,33 +1673,57 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
 # hot tiles still pay O(T).  The binned path builds per-tile triangle lists
 # on device each frame (the CuRast sort-by-tile structure, PAPERS.md):
 #
-#  1. unclipped (fan-slot-0) triangles whose tile footprint fits a static
-#     WX x WY window emit (tile, triangle) pairs;
+#  1. unclipped (fan-slot-0) triangles whose tile FOOTPRINT (bbox tile
+#     count ntx*nty, any aspect ratio) fits ``cap`` pair slots emit one
+#     (tile, triangle) pair per covered tile;
 #  2. one stable argsort by tile id groups the pairs; searchsorted gives
 #     per-tile offsets;
 #  3. the kernel loops ONLY its own list (scalar-prefetched offsets) plus
-#     the leftovers (clipped / oversized triangles) through the existing
-#     block/superblock hierarchy.
+#     the leftovers (clipped / cap-exceeding triangles) through the
+#     existing block/superblock hierarchy.
 #
 # Processing order is no longer submission order, so the kernel breaks
 # exact depth ties by triangle id (row index) — equivalent to the
 # sequential strict-less rule (first-submitted minimal-z wins), keeping the
 # oracle contract bit-exact.
 
-BIN_WX = 2  # tile-window width  (2 * 128 px)
-BIN_WY = 2  # tile-window height (2 * 32 px)
-BIN_E = BIN_WX * BIN_WY  # pair slots per listed triangle
+def _use_tile_lists(binning: str, rows: int) -> bool:
+    # "auto" currently resolves to the hierarchy kernels: measured on the
+    # demo scene (slope-timed, docs/PERFORMANCE.md), the per-frame pair
+    # argsort (~1.1 ms at 65K pairs) plus the leftover block scan for
+    # cap-exceeding triangles outweighs the binned kernel's win (0.38 vs
+    # 1.86 ms kernel-only).  tile_lists stays the right explicit choice
+    # for dense unordered soups where hot tiles otherwise scan most of
+    # the triangle list.
+    return binning == "tile_lists"
+
+
+BIN_CAP = 16  # default pair slots per listed triangle (bbox tile count)
+# Static total-pair budget that auto-sizes ``cap``: pairs = n_input * cap
+# trade prepare-sort time against leftover-hierarchy scans in the kernel.
+BIN_PAIR_BUDGET = 1 << 20
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int):
+def bin_cap_for(n_rows: int) -> int:
+    """Auto cap: generous for small scenes (the 120-triangle demo's cube
+    faces span up to ~170 tiles at 1080p and should all be listed — a
+    leftover big triangle re-engages the per-tile block scan the lists
+    exist to avoid), bounded by the pair budget for large ones."""
+    return int(max(4, min(256, BIN_PAIR_BUDGET // max(n_rows, 1))))
+
+
+def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int,
+                          cap: int | None = None):
     """Device-side bin build.  Returns (offsets, pair_tri, supers, blocks,
     ti, tf) — offsets (NUM_TILES+1,) i32, pair_tri (P, 1) i32 row ids
     grouped by tile (ascending id within a tile)."""
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
     num_tiles = tiles_x * tiles_y
+    if cap is None:
+        cap = bin_cap_for(g.head_count(tri_i32.shape[0]))
 
     n_input = g.head_count(tri_i32.shape[0])  # leading slot-0 rows
     t = tri_i32.shape[0]
@@ -1718,19 +1748,23 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int):
     ty1 = head[:, g.I_IMAX] // TILE_H
     ntx = tj1 - tj0 + 1
     nty = ty1 - ty0 + 1
-    listed = valid & (ntx <= BIN_WX) & (nty <= BIN_WY)
+    foot = ntx * nty  # bbox tile footprint (any aspect ratio)
+    listed = valid & (foot <= cap)
 
     # Pairs, t-major so the stable sort keeps ascending ids per tile.
+    # Slot e enumerates the bbox row-major: (dy, dx) = divmod(e, ntx) —
+    # per-triangle dynamic, so a 1xN or Nx1 footprint uses all ``cap``
+    # slots, not just a fixed window.
     keys = []
-    for e in range(BIN_E):
-        dx = e % BIN_WX
-        dy = e // BIN_WX
-        pvalid = listed & (dx < ntx) & (dy < nty)
+    for e in range(cap):
+        dx = e % ntx
+        dy = e // ntx
+        pvalid = listed & (e < foot)
         keys.append(
             jnp.where(pvalid, (ty0 + dy) * tiles_x + (tj0 + dx), num_tiles)
         )
-    keys = jnp.stack(keys, axis=1).reshape(-1)  # (n_input * BIN_E,)
-    pair_tri = jnp.repeat(jnp.arange(n_input, dtype=jnp.int32), BIN_E)
+    keys = jnp.stack(keys, axis=1).reshape(-1)  # (n_input * cap,)
+    pair_tri = jnp.repeat(jnp.arange(n_input, dtype=jnp.int32), cap)
     order = jnp.argsort(keys, stable=True)
     sorted_keys = keys[order]
     sorted_tri = pair_tri[order]
@@ -1757,8 +1791,11 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int):
     return offsets, sorted_tri[:, None], supers, blocks, hier, tri_f32
 
 
-def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
-                   color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den):
+def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
+                 color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
+                 gbuf_refs=None, gbuf_scratch=None,
+                 const_refs=None, const_scratch=None,
+                 depth_only=False):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1772,16 +1809,22 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
     px = (col0 + ix) * g.SUBPIXEL + half
 
     zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
-    tidbuf[...] = jnp.full((TILE_H, TILE_W), _INT_MAX, jnp.int32)
-    nr[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    if not depth_only:
+        tidbuf[...] = jnp.full((TILE_H, TILE_W), _INT_MAX, jnp.int32)
+        nr[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for buf in (gbuf_scratch or ()) + (const_scratch or ()):
+        buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     def eval_triangle(t, emask=True):
         """Coverage + z-test with id tie-break (order-free semantics).
         ``emask``: scalar bool folded into the write mask (group-branched
-        leftover loop passes the triangle's bbox-vs-tile bit)."""
+        leftover loop passes the triangle's bbox-vs-tile bit).  The
+        depth-only variant skips the id plane: on an exact z tie every
+        candidate writes the same depth, so the tie-break cannot change
+        the output (matches _depth_kernel's sequential strict-less)."""
         e0 = ti_ref[t, g.I_DX0] * (py - ti_ref[t, g.I_Y1]) - \
              ti_ref[t, g.I_DY0] * (px - ti_ref[t, g.I_X1])
         e1 = ti_ref[t, g.I_DX1] * (py - ti_ref[t, g.I_Y2]) - \
@@ -1799,6 +1842,10 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
         z = ef0 * tf_ref[t, g.F_ZA0] + ef1 * tf_ref[t, g.F_ZA1] \
             + ef2 * tf_ref[t, g.F_ZA2]
         zb = zbuf[...]
+        if depth_only:
+            ok = cov & (z >= 0.0) & (z < zb) & emask
+            zbuf[...] = jnp.where(ok, z, zb)
+            return
         tb = tidbuf[...]
         ok = cov & (z >= 0.0) & ((z < zb) | ((z == zb) & (t < tb))) & emask
         zbuf[...] = jnp.where(ok, z, zb)
@@ -1816,6 +1863,18 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
         latch(nr, g.F_CR0)
         latch(ng, g.F_CG0)
         latch(nb, g.F_CB0)
+        if gbuf_scratch is not None:
+            for buf, c0 in zip(
+                gbuf_scratch,
+                (g.F_U0, g.F_V0, g.F_NX0, g.F_NY0, g.F_NZ0),
+            ):
+                latch(buf, c0)
+        if const_scratch is not None:
+            for buf, col in zip(
+                const_scratch,
+                (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX),
+            ):
+                buf[...] = jnp.where(ok, tf_ref[t, col], buf[...])
 
     # Phase 1: this tile's own triangle list.
     tile_lin = tile_i * tiles_x + tile_j
@@ -1894,6 +1953,10 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
 
     _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
 
+    if depth_only:
+        depth_ref[...] = zbuf[...]
+        return
+
     # Resolve (identical to _kernel_body's epilogue).
     d = den[...]
     covered = d > 0
@@ -1911,39 +1974,83 @@ def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
         | (a << 24)
     )
     depth_ref[...] = zbuf[...]
+    if gbuf_refs is not None:
+        inv_cov = jnp.where(covered, inv, jnp.float32(0.0))
+        for ref, buf in zip(gbuf_refs, gbuf_scratch):
+            ref[...] = buf[...] * inv_cov
+    if const_refs is not None:
+        for ref, buf in zip(const_refs, const_scratch):
+            ref[...] = buf[...]  # constants latched directly, no 1/w
+
+
+def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
+                   color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den):
+    _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
+                 color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den)
+
+
+def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
+                           tf_ref, color_ref, depth_ref, u_ref, v_ref,
+                           nx_ref, ny_ref, nz_ref,
+                           met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
+                           tex_ref, zbuf, tidbuf, nr, ng, nb, den,
+                           nu, nv, nnx, nny, nnz,
+                           smet, srgh, semr, semg, semb, stex):
+    _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
+                 color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
+                 gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
+                 gbuf_scratch=(nu, nv, nnx, nny, nnz),
+                 const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
+                             tex_ref),
+                 const_scratch=(smet, srgh, semr, semg, semb, stex))
+
+
+def _binned_depth_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
+                         tf_ref, depth_ref, zbuf):
+    _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
+                 None, depth_ref, zbuf, None, None, None, None, None,
+                 depth_only=True)
+
+
+def _binned_grid_spec(grid, num_outs, extra_scratch):
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # offsets -> SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pair_tri list
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ti (full rows)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tf
+        ],
+        out_specs=[tile_spec] * num_outs,
+        scratch_shapes=extra_scratch,
+    )
 
 
 def rasterize_setup_pallas_binned(tri_i32, tri_f32, width: int, height: int,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  cap: int | None = None):
     """Per-tile-list raster: each tile loops only its own triangles.
 
-    Wins on dense high-overlap scenes where the union-bbox hierarchy's hot
-    tiles scan most of the triangle list; the hierarchy path remains better
-    for spatially-ordered content (Morton lattices) where union bboxes are
-    tight.  Bit-exact with the oracle (id tie-break == sequential LESS).
+    Wins whenever per-tile work is dominated by scanning triangles that do
+    not touch the tile — dense high-overlap soups AND small scenes whose
+    single 128-slot block otherwise scans past every covered tile.
+    Bit-exact with the oracle (id tie-break == sequential LESS).
     """
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, pair_tri, supers, blocks, ti, tf = prepare_binned_inputs(
-        tri_i32, tri_f32, width, height
+        tri_i32, tri_f32, width, height, cap=cap
     )
 
-    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
-                             memory_space=pltpu.VMEM)
     color, depth = _pallas_call(
         _binned_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # offsets -> SMEM
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # pair_tri list
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # ti (full rows)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # tf
-            ],
-            out_specs=[tile_spec, tile_spec],
-            scratch_shapes=[
+        grid_spec=_binned_grid_spec(
+            grid, 2,
+            [
                 pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
                 pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
             ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(4)],
@@ -1955,6 +2062,56 @@ def rasterize_setup_pallas_binned(tri_i32, tri_f32, width: int, height: int,
         interpret=interpret,
     )(offsets, supers, blocks, pair_tri, ti, tf)
     return color, depth
+
+
+def rasterize_gbuffer_pallas_binned(tri_i32, tri_f32, width: int,
+                                    height: int, interpret: bool = False,
+                                    cap: int | None = None):
+    """Per-tile-list G-buffer raster — same 13 output planes as
+    rasterize_gbuffer_pallas, with the binned traversal (id tie-break)."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offsets, pair_tri, supers, blocks, ti, tf = prepare_binned_inputs(
+        tri_i32, tri_f32, width, height, cap=cap
+    )
+
+    plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
+    outs = _pallas_call(
+        _binned_gbuffer_kernel,
+        grid_spec=_binned_grid_spec(
+            grid, 13,
+            [
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(15)],
+        ),
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
+        interpret=interpret,
+    )(offsets, supers, blocks, pair_tri, ti, tf)
+    return outs
+
+
+def rasterize_depth_pallas_binned(tri_i32, tri_f32, width: int, height: int,
+                                  interpret: bool = False,
+                                  cap: int | None = None):
+    """Per-tile-list depth-only raster (shadow-map pass), bit-identical to
+    rasterize_depth_pallas."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offsets, pair_tri, supers, blocks, ti, tf = prepare_binned_inputs(
+        tri_i32, tri_f32, width, height, cap=cap
+    )
+
+    (depth,) = _pallas_call(
+        _binned_depth_kernel,
+        grid_spec=_binned_grid_spec(
+            grid, 1, [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)],
+        interpret=interpret,
+    )(offsets, supers, blocks, pair_tri, ti, tf)
+    return depth
 
 
 def unpack_rgba8(packed_u32):
@@ -1974,7 +2131,7 @@ def unpack_rgba8(packed_u32):
 def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                         width: int, height: int,
                         pad_height: int, pad_width: int,
-                        interpret: bool = False, binning: str = "hierarchy",
+                        interpret: bool = False, binning: str = "auto",
                         vertex_shader=None):
     """Full frame: shared geometry pipeline + Pallas raster.
 
@@ -1983,10 +2140,11 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     (> VMEM_RESIDENT_MAX_TRIS slots) automatically stream triangle data
     from HBM; small scenes keep it VMEM-resident.
 
-    ``binning``: "hierarchy" (union-bbox block/superblock skip — best for
-    spatially ordered content) or "tile_lists" (per-tile sorted triangle
-    lists — 17x faster on dense UNordered scenes, measured; VMEM-resident
-    scenes only, larger ones fall back to the HBM hierarchy).
+    ``binning``: "hierarchy" (union-bbox block/superblock skip),
+    "tile_lists" (per-tile sorted triangle lists — each tile loops only
+    its own triangles instead of scanning whole 128-slot blocks), or
+    "auto" (tile_lists up to AUTO_TILE_LIST_MAX_TRIS rows, hierarchy
+    above; VMEM-resident scenes only, larger ones stream from HBM).
     """
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
@@ -2010,7 +2168,7 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     #   docs/PERFORMANCE.md "Benchmark traps").
     if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_setup_pallas_hbm
-    elif binning == "tile_lists":
+    elif _use_tile_lists(binning, tri_i32.shape[0]):
         raster = rasterize_setup_pallas_binned
     else:
         raster = rasterize_setup_pallas
