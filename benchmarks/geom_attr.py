@@ -81,6 +81,62 @@ def main() -> int:
         fan, valid, idx = g.clip_triangles_capped(jnp, tr, W, H, cap)
         return jnp.sum(fan[:, 0, 0]) + jnp.sum(valid) + jnp.sum(idx)
 
+    def upto_classify(m, pos, attrs, tvi, vnode):
+        cp = g.transform_positions(jnp, pos, m, vnode)
+        tr = g.assemble_triangles(jnp, cp, attrs, tvi)
+        gx = jnp.float32(1.0 + 2.0 * g.guard_px(W) / float(W))
+        gy = jnp.float32(1.0 + 2.0 * g.guard_px(H) / float(H))
+        crossing = jnp.zeros(tr.shape[0], bool)
+        fully_out = jnp.zeros(tr.shape[0], bool)
+        for plane in range(5):
+            dk = g._plane_distance(jnp, tr, plane, gx, gy)
+            neg = dk < 0
+            fully_out = fully_out | neg.all(axis=1)
+            crossing = crossing | (neg.any(axis=1) & ~neg.all(axis=1))
+        return jnp.sum(crossing) + jnp.sum(fully_out)
+
+    def upto_select(m, pos, attrs, tvi, vnode):
+        cp = g.transform_positions(jnp, pos, m, vnode)
+        tr = g.assemble_triangles(jnp, cp, attrs, tvi)
+        gx = jnp.float32(1.0 + 2.0 * g.guard_px(W) / float(W))
+        gy = jnp.float32(1.0 + 2.0 * g.guard_px(H) / float(H))
+        crossing = jnp.zeros(tr.shape[0], bool)
+        fully_out = jnp.zeros(tr.shape[0], bool)
+        for plane in range(5):
+            dk = g._plane_distance(jnp, tr, plane, gx, gy)
+            neg = dk < 0
+            fully_out = fully_out | neg.all(axis=1)
+            crossing = crossing | (neg.any(axis=1) & ~neg.all(axis=1))
+        needs = crossing & ~fully_out
+        cap = g.clip_cap_for(tvi.shape[0])
+        c = jnp.cumsum(needs.astype(jnp.int32))
+        j = jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.searchsorted(c, j + 1, side="left").astype(jnp.int32)
+        return jnp.sum(idx) + jnp.sum(c[-1])
+
+    def upto_subclip(m, pos, attrs, tvi, vnode):
+        cp = g.transform_positions(jnp, pos, m, vnode)
+        tr = g.assemble_triangles(jnp, cp, attrs, tvi)
+        gx = jnp.float32(1.0 + 2.0 * g.guard_px(W) / float(W))
+        gy = jnp.float32(1.0 + 2.0 * g.guard_px(H) / float(H))
+        crossing = jnp.zeros(tr.shape[0], bool)
+        fully_out = jnp.zeros(tr.shape[0], bool)
+        for plane in range(5):
+            dk = g._plane_distance(jnp, tr, plane, gx, gy)
+            neg = dk < 0
+            fully_out = fully_out | neg.all(axis=1)
+            crossing = crossing | (neg.any(axis=1) & ~neg.all(axis=1))
+        needs = crossing & ~fully_out
+        cap = g.clip_cap_for(tvi.shape[0])
+        c = jnp.cumsum(needs.astype(jnp.int32))
+        j = jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.searchsorted(c, j + 1, side="left").astype(jnp.int32)
+        live = j < c[-1]
+        idx = jnp.where(live, jnp.minimum(idx, tr.shape[0] - 1), 0)
+        sub = tr[idx]
+        fan_s, valid_s = g.clip_triangles(jnp, sub, W, H)
+        return jnp.sum(fan_s) + jnp.sum(valid_s) + jnp.sum(crossing)
+
     def full(m, pos, attrs, tvi, vnode):
         ti, tf = g.geometry_pipeline(jnp, pos, attrs, tvi, m, vnode, W, H)
         return jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0])
@@ -88,6 +144,9 @@ def main() -> int:
     stages = {
         "transform": upto_transform,
         "assemble": upto_assemble,
+        "classify": upto_classify,
+        "select": upto_select,
+        "subclip": upto_subclip,
         "clip": upto_clip,
         "full": full,
     }

@@ -178,10 +178,14 @@ def assemble_triangles(xp, clip_pos, attrs, tri_vidx):
 
     clip_pos: (N, 4), attrs: (N, ATTR_FLOATS - 4), tri_vidx: (T, 3) int32.
     Returns (T, 3, ATTR_FLOATS) with clip position in channels 0:4.
+
+    One concatenated row gather instead of two: TPU gathers pay per INDEX
+    (~4-7 ns), not per byte, so gathering the merged (N, A) table halves
+    the 6M index visits of the two-gather form at 1M triangles (the
+    concat itself is a cheap contiguous copy).
     """
-    tri_clip = clip_pos[tri_vidx]  # (T, 3, 4)
-    tri_attr = attrs[tri_vidx]  # (T, 3, A-4)
-    return xp.concatenate([tri_clip, tri_attr], axis=-1)
+    merged = xp.concatenate([clip_pos, attrs], axis=-1)  # (N, A)
+    return merged[tri_vidx]  # (T, 3, A)
 
 
 # ---------------------------------------------------------------------------
@@ -368,14 +372,17 @@ def clip_triangles_capped(xp, tris, width: int, height: int, cap: int):
         live = np.zeros(cap, bool)
         live[:k] = True
     else:
-        import jax
-
-        key = xp.where(
-            needs, T - xp.arange(T, dtype=xp.int32), xp.int32(0)
-        )
-        kv, idx = jax.lax.top_k(key, cap)  # descending key = ascending tri
-        live = kv > 0
-        idx = idx.astype(xp.int32)
+        # First-cap crossing triangles in ascending order, WITHOUT top_k:
+        # top_k over 1M keys measured ~135 ms/frame on v5e (its lowering
+        # is a k-pass/sort-shaped reduction); the same selection is an
+        # inclusive cumsum (idx j = first i with cumsum(needs)[i] == j+1)
+        # answered by a vectorized binary search — ~20 gather rounds of
+        # `cap` indices each, milliseconds (docs/PERFORMANCE.md).
+        c = xp.cumsum(needs.astype(xp.int32))
+        j = xp.arange(cap, dtype=xp.int32)
+        idx = xp.searchsorted(c, j + 1, side="left").astype(xp.int32)
+        live = j < c[-1]  # slot j live iff at least j+1 crossing triangles
+        idx = xp.where(live, xp.minimum(idx, T - 1), 0)
 
     sub = tris[idx]  # (cap, 3, A) — a cap-sized gather, not a T-sized one
     fan_s, valid_s = clip_triangles(xp, sub, width, height)
