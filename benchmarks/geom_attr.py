@@ -141,6 +141,29 @@ def main() -> int:
         ti, tf = g.geometry_pipeline(jnp, pos, attrs, tvi, m, vnode, W, H)
         return jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0])
 
+    # Per-corner (gather-free) pipeline on the pre-expanded buffers.
+    cpb = (b["corner_positions"], b["corner_attrs"], b["corner_node"])
+
+    def timed_corner(name):
+        @jax.jit
+        def run(mats_, cpos, cattrs, cnode):
+            def step(carry, m):
+                ti, tf = g.geometry_pipeline(
+                    jnp, cpos, cattrs, None, m, cnode, W, H)
+                return carry + jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0]), None
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), mats_)
+            return out
+
+        args = (mats,) + cpb
+        np.asarray(run(*args))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(*args))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        print(f"{name:36s}: {best * 1000:9.2f} ms/frame", flush=True)
+        return best
+
     stages = {
         "transform": upto_transform,
         "assemble": upto_assemble,
@@ -150,9 +173,13 @@ def main() -> int:
         "clip": upto_clip,
         "full": full,
     }
-    want = [a for a in sys.argv[1:] if a in stages] or list(stages)
+    want = [a for a in sys.argv[1:] if a in stages or a == "fullc"]
+    want = want or list(stages) + ["fullc"]
     for name in want:
-        timed(name, stages[name])
+        if name == "fullc":
+            timed_corner("full per-corner (gather-free)")
+        else:
+            timed(name, stages[name])
     return 0
 
 

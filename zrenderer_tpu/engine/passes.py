@@ -32,35 +32,48 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
     zd3d12.zig:1273-1356).  The material table rides the buffer dict as
     b['materials'] (D, MATERIAL_COLS)."""
     mat = b.get("materials")
+    pos, attrs, tvi, vnode = _geom_buffers(b)
     if backend == "pallas":
         outs = raster_pallas.render_gbuffer_pallas(
-            b["positions"], b["attrs"], b["tri_vidx"], matrices,
-            b["vert_node"], normal_mats, width, height,
+            pos, attrs, tvi, matrices,
+            vnode, normal_mats, width, height,
             pad_height, pad_width, interpret=interpret, material_table=mat,
             vertex_shader=vertex_shader, binning=binning,
         )
         return [raster_pallas.unpack_rgba8(outs[0])] + list(outs[1:])
     ti, tf = g.geometry_pipeline(
-        jnp, b["positions"], b["attrs"], b["tri_vidx"], matrices,
-        b["vert_node"], width, height, normal_matrices=normal_mats,
+        jnp, pos, attrs, tvi, matrices,
+        vnode, width, height, normal_matrices=normal_mats,
         material_table=mat, vertex_shader=vertex_shader,
     )
     return list(raster_xla.rasterize_gbuffer_xla(ti, tf, width, height))
+
+
+def _geom_buffers(b):
+    """Prefer the per-corner expanded streams (tri_vidx=None selects
+    geometry_pipeline's gather-free per-corner mode) when the engine
+    uploaded them; fall back to the indexed form (device-generated
+    geometry, tests)."""
+    if "corner_positions" in b:
+        return (b["corner_positions"], b["corner_attrs"], None,
+                b["corner_node"])
+    return b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"]
 
 
 def _depth_only(backend, b, light_matrices, size, interpret,
                 binning="auto"):
     """Depth-only pass from the light's view (the shadow-map pass)."""
     sw = sh = size
+    pos, attrs, tvi, vnode = _geom_buffers(b)
     if backend == "pallas":
         depth = raster_pallas.render_depth_pallas(
-            b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
-            b["vert_node"], sw, sh, interpret=interpret, binning=binning,
+            pos, attrs, tvi, light_matrices,
+            vnode, sw, sh, interpret=interpret, binning=binning,
         )
     else:
         _, depth = raster_xla.render_frame_xla(
-            b["positions"], b["attrs"], b["tri_vidx"], light_matrices,
-            b["vert_node"], sw, sh,
+            pos, attrs, tvi, light_matrices,
+            vnode, sw, sh,
         )
     return depth
 

@@ -91,7 +91,8 @@ class Renderer:
             # destroy are detected, zd3d12.zig:1752-1831 semantics), and
             # reloading a scene destroys the previous buffers' slots.
             for name in ("positions", "attrs", "tri_vidx", "vert_node",
-                         "materials"):
+                         "materials", "corner_positions", "corner_attrs",
+                         "corner_node"):
                 h = self._buffer_handles.pop(name, None)
                 if h is not None:
                     self.resources.destroy(h)
@@ -99,6 +100,13 @@ class Renderer:
             self._set_buffer("attrs", jax.device_put(f.attrs, self.device))
             self._set_buffer("tri_vidx", jax.device_put(f.tri_vidx, self.device))
             self._set_buffer("vert_node", jax.device_put(f.vert_node, self.device))
+            # Per-corner expansion (static topology): lets the geometry
+            # stage skip its per-frame 3T-row gather (latency-bound on
+            # TPU) — see geometry_pipeline's per-corner mode.
+            cp, ca, cn = f.expand_corners()
+            self._set_buffer("corner_positions", jax.device_put(cp, self.device))
+            self._set_buffer("corner_attrs", jax.device_put(ca, self.device))
+            self._set_buffer("corner_node", jax.device_put(cn, self.device))
             # Per-draw local AABB corners, cached once: the light frustum is
             # fitted from TRANSFORMED bounds (exact under node rotation and
             # scale) without per-frame host scans of all vertices.
@@ -420,8 +428,8 @@ class Renderer:
                 matrices = self.camera_matrices(camera, transforms, jitter)
                 (matrices,) = self._stage_constants([matrices])
                 color, depth = frame(
-                    b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"],
-                    matrices,
+                    b["corner_positions"], b["corner_attrs"], None,
+                    b["corner_node"], matrices,
                 )
             else:
                 c = self._lit_constants(camera, transforms)
@@ -740,8 +748,8 @@ class Renderer:
             def body(carry, x):
                 if pipeline == "flat":
                     color, depth = frame(
-                        b["positions"], b["attrs"], b["tri_vidx"],
-                        b["vert_node"], x["matrices"],
+                        b["corner_positions"], b["corner_attrs"], None,
+                        b["corner_node"], x["matrices"],
                     )
                 elif pipeline == "lit":
                     color, depth = frame(

@@ -47,6 +47,21 @@ class FlatScene:
     def draw_count(self) -> int:
         return len(self.node_to_world)
 
+    def expand_corners(self):
+        """Per-corner (triangle-major) expansion of the vertex streams:
+        row 3t+c holds corner c of triangle t.  Topology is static per
+        scene, so doing this host-side ONCE removes the per-frame 3T-row
+        device gather from the geometry stage (latency-bound, ~150 ms at
+        1M triangles on v5e — see geometry_pipeline per-corner mode).
+        Returns (corner_positions (3T,4) f32, corner_attrs (3T,12) f32,
+        corner_node (3T,) i32)."""
+        flat_idx = self.tri_vidx.reshape(-1)
+        return (
+            np.ascontiguousarray(self.positions[flat_idx]),
+            np.ascontiguousarray(self.attrs[flat_idx]),
+            np.ascontiguousarray(self.vert_node[flat_idx]),
+        )
+
 
 def flatten_scene(scene, mesh_data, pad: bool = True,
                   vert_align: int = 128, tri_align: int = 256,

