@@ -141,15 +141,15 @@ def main() -> int:
         ti, tf = g.geometry_pipeline(jnp, pos, attrs, tvi, m, vnode, W, H)
         return jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0])
 
-    # Per-corner (gather-free) pipeline on the pre-expanded buffers.
-    cpb = (b["corner_positions"], b["corner_attrs"], b["corner_node"])
+    # Column per-corner (gather-free, AoS-free) pipeline.
+    cpb = (b["corner_cols"], b["tri_node"])
 
     def timed_corner(name):
         @jax.jit
-        def run(mats_, cpos, cattrs, cnode):
+        def run(mats_, ccols, tri_node):
             def step(carry, m):
                 ti, tf = g.geometry_pipeline(
-                    jnp, cpos, cattrs, None, m, cnode, W, H)
+                    jnp, ccols, None, None, m, tri_node, W, H)
                 return carry + jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0]), None
             out, _ = jax.lax.scan(step, jnp.float32(0.0), mats_)
             return out

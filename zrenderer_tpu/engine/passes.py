@@ -32,7 +32,7 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
     zd3d12.zig:1273-1356).  The material table rides the buffer dict as
     b['materials'] (D, MATERIAL_COLS)."""
     mat = b.get("materials")
-    pos, attrs, tvi, vnode = _geom_buffers(b)
+    pos, attrs, tvi, vnode = _geom_buffers(b, vertex_shader)
     if backend == "pallas":
         outs = raster_pallas.render_gbuffer_pallas(
             pos, attrs, tvi, matrices,
@@ -49,14 +49,14 @@ def _gbuffer(backend, b, matrices, normal_mats, width, height,
     return list(raster_xla.rasterize_gbuffer_xla(ti, tf, width, height))
 
 
-def _geom_buffers(b):
-    """Prefer the per-corner expanded streams (tri_vidx=None selects
-    geometry_pipeline's gather-free per-corner mode) when the engine
-    uploaded them; fall back to the indexed form (device-generated
-    geometry, tests)."""
-    if "corner_positions" in b:
-        return (b["corner_positions"], b["corner_attrs"], None,
-                b["corner_node"])
+def _geom_buffers(b, vertex_shader=None):
+    """Prefer the column per-corner buffers (tri_vidx=None + attrs=None
+    selects geometry_pipeline_cols, the gather-free SoA mode) when the
+    engine uploaded them; fall back to the indexed form (custom vertex
+    shaders — the hook runs on per-vertex rows — and device-generated
+    geometry/tests)."""
+    if vertex_shader is None and "corner_cols" in b:
+        return b["corner_cols"], None, None, b["tri_node"]
     return b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"]
 
 

@@ -91,8 +91,7 @@ class Renderer:
             # destroy are detected, zd3d12.zig:1752-1831 semantics), and
             # reloading a scene destroys the previous buffers' slots.
             for name in ("positions", "attrs", "tri_vidx", "vert_node",
-                         "materials", "corner_positions", "corner_attrs",
-                         "corner_node"):
+                         "materials", "corner_cols", "tri_node"):
                 h = self._buffer_handles.pop(name, None)
                 if h is not None:
                     self.resources.destroy(h)
@@ -100,13 +99,13 @@ class Renderer:
             self._set_buffer("attrs", jax.device_put(f.attrs, self.device))
             self._set_buffer("tri_vidx", jax.device_put(f.tri_vidx, self.device))
             self._set_buffer("vert_node", jax.device_put(f.vert_node, self.device))
-            # Per-corner expansion (static topology): lets the geometry
-            # stage skip its per-frame 3T-row gather (latency-bound on
-            # TPU) — see geometry_pipeline's per-corner mode.
-            cp, ca, cn = f.expand_corners()
-            self._set_buffer("corner_positions", jax.device_put(cp, self.device))
-            self._set_buffer("corner_attrs", jax.device_put(ca, self.device))
-            self._set_buffer("corner_node", jax.device_put(cn, self.device))
+            # Column per-corner expansion (static topology): the geometry
+            # stage skips both its per-frame 3T-row gather (latency-bound)
+            # and the padded (T,3,16) AoS triangle array — see
+            # geometry_pipeline_cols.
+            ccols, tri_node = f.expand_corner_cols()
+            self._set_buffer("corner_cols", jax.device_put(ccols, self.device))
+            self._set_buffer("tri_node", jax.device_put(tri_node, self.device))
             # Per-draw local AABB corners, cached once: the light frustum is
             # fitted from TRANSFORMED bounds (exact under node rotation and
             # scale) without per-frame host scans of all vertices.
@@ -336,6 +335,15 @@ class Renderer:
 
         return self.pipelines.get_or_create(key, build)
 
+    def _geom_args(self, b):
+        """(positions, attrs, tri_vidx, node_ids) for the frame functions:
+        the column per-corner buffers (geometry_pipeline_cols) normally;
+        the indexed buffers when a custom vertex shader is bound (the hook
+        runs on per-vertex rows)."""
+        if self._vertex_shader is None:
+            return b["corner_cols"], None, None, b["tri_node"]
+        return b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"]
+
     def _build_flat_frame(self):
         cfg = self.config
         if self.backend == "pallas":
@@ -427,10 +435,7 @@ class Renderer:
             if pipeline == "flat":
                 matrices = self.camera_matrices(camera, transforms, jitter)
                 (matrices,) = self._stage_constants([matrices])
-                color, depth = frame(
-                    b["corner_positions"], b["corner_attrs"], None,
-                    b["corner_node"], matrices,
-                )
+                color, depth = frame(*self._geom_args(b), matrices)
             else:
                 c = self._lit_constants(camera, transforms)
                 staged = self._stage_constants(
@@ -747,10 +752,7 @@ class Renderer:
 
             def body(carry, x):
                 if pipeline == "flat":
-                    color, depth = frame(
-                        b["corner_positions"], b["corner_attrs"], None,
-                        b["corner_node"], x["matrices"],
-                    )
+                    color, depth = frame(*self._geom_args(b), x["matrices"])
                 elif pipeline == "lit":
                     color, depth = frame(
                         b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],

@@ -47,20 +47,19 @@ class FlatScene:
     def draw_count(self) -> int:
         return len(self.node_to_world)
 
-    def expand_corners(self):
-        """Per-corner (triangle-major) expansion of the vertex streams:
-        row 3t+c holds corner c of triangle t.  Topology is static per
-        scene, so doing this host-side ONCE removes the per-frame 3T-row
-        device gather from the geometry stage (latency-bound, ~150 ms at
-        1M triangles on v5e — see geometry_pipeline per-corner mode).
-        Returns (corner_positions (3T,4) f32, corner_attrs (3T,12) f32,
-        corner_node (3T,) i32)."""
-        flat_idx = self.tri_vidx.reshape(-1)
-        return (
-            np.ascontiguousarray(self.positions[flat_idx]),
-            np.ascontiguousarray(self.attrs[flat_idx]),
-            np.ascontiguousarray(self.vert_node[flat_idx]),
-        )
+    def expand_corner_cols(self):
+        """Column (SoA) per-corner expansion: ONE (48, T) f32 buffer whose
+        row c*16+j holds channel j of triangle corner c (channels 0:4
+        object-space position, 4:16 vertex attrs), plus the (T,) i32 draw
+        id of each triangle (corners of a triangle share a draw).  Row
+        slices of the (48, T) buffer are perfectly (8,128)-tiled (T,)
+        vectors on TPU — the layout geometry_pipeline_cols is built on."""
+        merged = np.concatenate([self.positions, self.attrs], axis=1)
+        corners = merged[self.tri_vidx.reshape(-1)].reshape(-1, 3, 16)
+        ccols = np.ascontiguousarray(
+            corners.transpose(1, 2, 0).reshape(48, -1))
+        tri_node = np.ascontiguousarray(self.vert_node[self.tri_vidx[:, 0]])
+        return ccols, tri_node
 
 
 def flatten_scene(scene, mesh_data, pad: bool = True,

@@ -155,6 +155,23 @@ def _expand_rows(xp, table, ids, max_onehot: int = 64):
     )
 
 
+def _expand_cols(xp, table, ids, max_onehot: int = 64):
+    """``table[ids].T`` — (K, T) columns — via the transposed one-hot
+    matmul (same exactness argument as _expand_rows: each output element
+    is a HIGHEST-precision dot summing one 1.0*x plus zeros)."""
+    m_rows = table.shape[0]
+    if xp is np or m_rows > max_onehot:
+        return table[ids].T
+    import jax
+
+    onehot = (ids[None, :] == xp.arange(m_rows, dtype=ids.dtype)[:, None])
+    return jax.lax.dot_general(
+        table.astype(xp.float32).T, onehot.astype(xp.float32),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def transform_normals(xp, attrs, normal_matrices, node_ids):
     """Rotate per-vertex normals (attrs channels 6:9) into world space by
     the per-draw inverse-transpose rotation (row-vector: n' = n @ NM).
@@ -561,16 +578,11 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     vertex shaders into PSOs, zd3d12.zig:904-1046; the demo's uber.hlsl is
     one instance).  Runs on device inside the jitted frame.
 
-    ``tri_vidx=None`` selects PER-CORNER mode: ``positions`` (3T, 4),
-    ``attrs`` (3T, A-4) and ``node_ids`` (3T,) are already expanded to
-    triangle corners in triangle-major order (corner c of triangle t at
-    row 3t+c — the engine precomputes this at load since topology is
-    static).  The per-frame triangle assembly is then a free reshape
-    instead of a 3T-row random gather — measured ~150 ms/frame at 1M
-    triangles on v5e (HBM row gathers are latency-bound per INDEX), vs
-    ~20 ms of extra dense per-corner transform math.  Identical results
-    bit-for-bit: each corner row runs exactly the vertex formula on the
-    same inputs.
+    ``tri_vidx=None`` selects the column (SoA) per-corner mode:
+    ``positions`` is the (48, T) corner-column buffer built at load
+    (FlatScene.expand_corner_cols), ``attrs`` must be None, ``node_ids``
+    is the (T,) per-triangle draw id.  See geometry_pipeline_cols for
+    why (gather-free AND AoS-free — both measured bottlenecks on TPU).
     Returns (tri_i32, tri_f32).  With the default capped clipping
     (``clip_cap="auto"``) the static row count is ``capped_rows(T)`` =
     T slot-0 rows (one per input triangle, in submission order) followed
@@ -578,18 +590,26 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
     clip subset); ``clip_cap=None`` selects the legacy dense slot-major
     (FAN_SLOTS * T) layout.
     """
+    if tri_vidx is None:
+        # Column (SoA) per-corner mode: ``positions`` is the (48, T)
+        # corner-column buffer (attrs=None), ``node_ids`` the (T,)
+        # per-triangle draw — see geometry_pipeline_cols.  The
+        # vertex-shader hook needs the per-vertex row layout; callers
+        # fall back to the indexed mode for it.
+        assert attrs is None, "tri_vidx=None takes the (48,T) cols buffer"
+        assert vertex_shader is None, "cols mode has no vertex_shader"
+        return geometry_pipeline_cols(
+            xp, positions, node_ids, matrices, width, height,
+            normal_matrices=normal_matrices, material_table=material_table,
+            clip_cap=clip_cap,
+        )
     if vertex_shader is not None:
         positions, attrs = vertex_shader(positions, attrs)
     clip_pos = transform_positions(xp, positions, matrices, node_ids)
     if normal_matrices is not None:
         attrs = transform_normals(xp, attrs, normal_matrices, node_ids)
-    if tri_vidx is None:
-        t = positions.shape[0] // 3
-        a = clip_pos.shape[-1] + attrs.shape[-1]
-        tris = xp.concatenate([clip_pos, attrs], axis=-1).reshape(t, 3, a)
-    else:
-        t = tri_vidx.shape[0]
-        tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
+    t = tri_vidx.shape[0]
+    tris = assemble_triangles(xp, clip_pos, attrs, tri_vidx)
     subset_idx = None
     if clip_cap is None:
         # Legacy dense layout: FAN_SLOTS slots for every triangle,
@@ -609,9 +629,6 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
             # pathologically slow on TPU, and the draw->material mapping is
             # static per scene).
             per_tri = material_table
-        elif tri_vidx is None:
-            tri_draw = node_ids[0::3]  # corner 0's draw, (T,)
-            per_tri = material_table[tri_draw]
         else:
             tri_draw = node_ids[tri_vidx[:, 0]]  # (T,) draw of each triangle
             per_tri = material_table[tri_draw]  # (T, MATERIAL_COLS)
@@ -625,6 +642,262 @@ def geometry_pipeline(xp, positions, attrs, tri_vidx, matrices, node_ids,
             )
     return setup_triangles(xp, fan, fan_valid, width, height,
                            const_cols=const_cols)
+
+
+def _plane_distance_col(xp, x, y, z, w, plane_id, gx, gy):
+    """Column form of _plane_distance: same formulas on (T,) vectors."""
+    if plane_id == 0:
+        return z
+    if plane_id == 1:
+        return _ob(xp, gx * w) - x
+    if plane_id == 2:
+        return _ob(xp, gx * w) + x
+    if plane_id == 3:
+        return _ob(xp, gy * w) - y
+    return _ob(xp, gy * w) + y
+
+
+def geometry_pipeline_cols(xp, ccols, tri_node, matrices,
+                           width: int, height: int, normal_matrices=None,
+                           material_table=None, clip_cap="auto"):
+    """Column-form (SoA) per-corner geometry pipeline.
+
+    The row-form per-corner mode still materializes the (T, 3, 16) AoS
+    triangle array; on TPU XLA lays that out {2,1,0:T(4,128)} — the (3,16)
+    minor dims pad to a (4,128) tile, a ~10.7x memory amplification
+    (~2 GB at 1M triangles), and the classify/setup passes that read it
+    measured ~75 ms/frame (op-level trace, benchmarks/geom_profile.py).
+    Here every quantity is a (T,)-shaped vector (a row slice of one
+    (48, T) buffer), which tiles perfectly.
+
+    ``ccols``: (48, T) f32 — row c*16+j is channel j of triangle corner c
+    (channels: clip-input position xyzw, color rgba, uv, normal, tangent),
+    built once at load by FlatScene.expand_corner_cols.
+    ``tri_node``: (T,) int32 — the draw of each triangle (corners of one
+    triangle always share a draw).
+    Returns (tri_i32, tri_f32) — identical bit-for-bit to the row modes:
+    every elementwise formula, association (incl. _ob rounding barriers),
+    and reduction order is the same, only array shapes differ.
+    """
+    t = ccols.shape[1]
+    f32 = xp.float32
+    i32 = xp.int32
+    assert clip_cap is not None, "cols mode requires capped clipping"
+    cap = clip_cap_for(t) if clip_cap == "auto" else min(clip_cap, t)
+
+    # -- transform: per-triangle object_to_clip rows (16, T) -------------
+    mrow = _expand_cols(xp, matrices.reshape(-1, 16), tri_node)
+    pos = [[ccols[c * 16 + j] for j in range(4)] for c in range(3)]
+    clip = [
+        [
+            (
+                (_ob(xp, pos[c][0] * mrow[0 * 4 + j])
+                 + _ob(xp, pos[c][1] * mrow[1 * 4 + j]))
+                + (_ob(xp, pos[c][2] * mrow[2 * 4 + j])
+                   + _ob(xp, pos[c][3] * mrow[3 * 4 + j]))
+            ).astype(f32)
+            for j in range(4)
+        ]
+        for c in range(3)
+    ]
+    attr = [[ccols[c * 16 + 4 + i] for i in range(12)] for c in range(3)]
+    if normal_matrices is not None:
+        nmrow = _expand_cols(xp, normal_matrices.reshape(-1, 9), tri_node)
+        for c in range(3):
+            n0, n1, n2 = attr[c][6], attr[c][7], attr[c][8]
+            out = [
+                (
+                    (_ob(xp, n0 * nmrow[0 * 3 + j])
+                     + _ob(xp, n1 * nmrow[1 * 3 + j]))
+                    + _ob(xp, n2 * nmrow[2 * 3 + j])
+                ).astype(f32)
+                for j in range(3)
+            ]
+            attr[c][6], attr[c][7], attr[c][8] = out
+
+    # Full channel grid: cols[c][j] == assembled tris[:, c, j].
+    cols = [clip[c] + attr[c] for c in range(3)]
+
+    # -- clip classification + capped subset selection -------------------
+    gx = f32(1.0 + 2.0 * guard_px(width) / float(width))
+    gy = f32(1.0 + 2.0 * guard_px(height) / float(height))
+    crossing = xp.zeros(t, bool)
+    fully_out = xp.zeros(t, bool)
+    for plane in range(5):
+        neg = [
+            _plane_distance_col(
+                xp, clip[c][0], clip[c][1], clip[c][2], clip[c][3],
+                plane, gx, gy,
+            ) < 0
+            for c in range(3)
+        ]
+        any_neg = (neg[0] | neg[1]) | neg[2]
+        all_neg = (neg[0] & neg[1]) & neg[2]
+        fully_out = fully_out | all_neg
+        crossing = crossing | (any_neg & ~all_neg)
+    needs = crossing & ~fully_out
+    slot0_valid = ~(crossing | fully_out)
+
+    if xp is np:
+        sel = np.nonzero(needs)[0].astype(np.int32)
+        k = min(cap, len(sel))
+        idx = np.zeros(cap, np.int32)
+        idx[:k] = sel[:k]
+        live = np.zeros(cap, bool)
+        live[:k] = True
+    else:
+        c_ = xp.cumsum(needs.astype(i32))
+        j_ = xp.arange(cap, dtype=i32)
+        idx = xp.searchsorted(c_, j_ + 1, side="left").astype(i32)
+        live = j_ < c_[-1]
+        idx = xp.where(live, xp.minimum(idx, t - 1), 0)
+
+    # Subset rows as a small AoS block for the (unchanged) dense clipper.
+    sub = xp.stack(
+        [
+            xp.stack([cols[c][j][idx] for j in range(ATTR_FLOATS)], axis=-1)
+            for c in range(3)
+        ],
+        axis=1,
+    )  # (cap, 3, ATTR_FLOATS)
+    fan_s, valid_s = clip_triangles(xp, sub, width, height)
+    valid_s = valid_s & xp.tile(live, FAN_SLOTS)
+    valid = xp.concatenate([slot0_valid, valid_s])
+
+    # Row r's channel columns: slot-0 part is the original (T,) vectors,
+    # the subset fan is column slices of the small fan_s block.
+    fcols = [
+        [
+            xp.concatenate([cols[c][j], fan_s[:, c, j]])
+            for j in range(ATTR_FLOATS)
+        ]
+        for c in range(3)
+    ]
+
+    const_cols = None
+    if material_table is not None:
+        if material_table.shape[0] == t:
+            per_tri = material_table
+        else:
+            per_tri = material_table[tri_node]
+        sub_tri = per_tri[idx]
+        const_cols = [
+            xp.concatenate(
+                [per_tri[:, c], xp.tile(sub_tri[:, c], FAN_SLOTS)]
+            ).astype(f32)
+            for c in range(MATERIAL_COLS)
+        ]
+
+    return _setup_cols(xp, fcols, valid, width, height, const_cols)
+
+
+def _setup_cols(xp, cols, valid, width: int, height: int, const_cols=None):
+    """Column form of setup_triangles: identical formulas on (R,) vectors.
+    ``cols[c][j]``: channel j of post-clip vertex c; ``valid``: (R,) bool.
+    Returns (tri_i32 (R, NI32), tri_f32 (R, NF32)) — bit-identical to
+    setup_triangles on the equivalent (R, 3, A) AoS input."""
+    gpx = guard_px(width)
+    gpy = guard_px(height)
+    f32 = xp.float32
+    i32 = xp.int32
+    r = valid.shape[0]
+
+    X, Y = [], []
+    for c in range(3):
+        w_ = cols[c][3]
+        w_ = xp.where(w_ > 0, w_, f32(1.0))
+        inv_w = (f32(1.0) / w_).astype(f32)
+        ndc_x = cols[c][0] * inv_w
+        ndc_y = cols[c][1] * inv_w
+        xs = (ndc_x + f32(1.0)) * f32(0.5 * width)
+        ys = (f32(1.0) - ndc_y) * f32(0.5 * height)
+        lox = f32(-gpx * SUBPIXEL)
+        loy = f32(-gpy * SUBPIXEL)
+        hix = f32((width + gpx) * SUBPIXEL)
+        hiy = f32((height + gpy) * SUBPIXEL)
+        X.append(xp.clip(
+            xp.floor(xs * f32(SUBPIXEL) + f32(0.5)), lox, hix).astype(i32))
+        Y.append(xp.clip(
+            xp.floor(ys * f32(SUBPIXEL) + f32(0.5)), loy, hiy).astype(i32))
+
+    x0, x1, x2 = X
+    y0, y1, y2 = Y
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    front = area2 < 0
+    alive = valid & front
+
+    # Canonicalize: swap v1 <-> v2 (matches setup_triangles).
+    x1, x2 = x2, x1
+    y1, y2 = y2, y1
+    vord = (0, 2, 1)  # canonical vertex order into cols
+    area2 = -area2
+
+    dx0, dy0 = x2 - x1, y2 - y1
+    dx1, dy1 = x0 - x2, y0 - y2
+    dx2, dy2 = x1 - x0, y1 - y0
+
+    def bias(dx, dy):
+        top_left = (dy < 0) | ((dy == 0) & (dx > 0))
+        return xp.where(top_left, i32(0), i32(1))
+
+    half = SUBPIXEL // 2
+    xmin = xp.minimum(xp.minimum(x0, x1), x2)
+    xmax = xp.maximum(xp.maximum(x0, x1), x2)
+    ymin = xp.minimum(xp.minimum(y0, y1), y2)
+    ymax = xp.maximum(xp.maximum(y0, y1), y2)
+    jmin = xp.maximum((xmin + (SUBPIXEL - 1 - half)) >> SUBPIXEL_BITS, 0)
+    jmax = xp.minimum((xmax - half) >> SUBPIXEL_BITS, width - 1)
+    imin = xp.maximum((ymin + (SUBPIXEL - 1 - half)) >> SUBPIXEL_BITS, 0)
+    imax = xp.minimum((ymax - half) >> SUBPIXEL_BITS, height - 1)
+    jmin = xp.where(alive, jmin, 1).astype(i32)
+    jmax = xp.where(alive, jmax, 0).astype(i32)
+    imin = xp.where(alive, imin, 1).astype(i32)
+    imax = xp.where(alive, imax, 0).astype(i32)
+
+    i32_cols = [
+        x0, y0, x1, y1, x2, y2,
+        dx0, dy0, dx1, dy1, dx2, dy2,
+        bias(dx0, dy0), bias(dx1, dy1), bias(dx2, dy2),
+        jmin, jmax, imin, imax,
+        alive.astype(i32),
+    ]
+
+    safe_area = xp.where(area2 > 0, area2, 1)
+    inv_area = (f32(1.0) / safe_area.astype(f32)).astype(f32)
+    za, rw, cr, cg, cb, uu, vv, nx, ny, nz = ([] for _ in range(10))
+    for k in range(3):
+        c = vord[k]
+        wc = xp.where(alive, cols[c][3], f32(1.0))
+        rw_k = (f32(1.0) / wc).astype(f32)
+        rw.append(rw_k)
+        za.append((cols[c][2] * rw_k) * inv_area)
+        cr.append(cols[c][4] * rw_k)
+        cg.append(cols[c][5] * rw_k)
+        cb.append(cols[c][6] * rw_k)
+        uu.append(cols[c][8] * rw_k)
+        vv.append(cols[c][9] * rw_k)
+        nx.append(cols[c][10] * rw_k)
+        ny.append(cols[c][11] * rw_k)
+        nz.append(cols[c][12] * rw_k)
+
+    if const_cols is None:
+        const_cols = [xp.zeros(r, f32)] * MATERIAL_COLS
+    f32_cols = (
+        za + rw + cr + cg + cb + uu + vv + nx + ny + nz + list(const_cols)
+        + [xp.zeros(r, f32)] * (NF32 - 30 - MATERIAL_COLS)
+    )
+
+    tri_i32 = xp.stack(i32_cols, axis=1).astype(i32)
+    tri_f32 = xp.stack(f32_cols, axis=1).astype(f32)
+
+    sentinel = np.zeros(NI32, np.int32)
+    sentinel[I_JMIN] = 1
+    sentinel[I_IMIN] = 1
+    sentinel[I_BIAS0] = sentinel[I_BIAS1] = sentinel[I_BIAS2] = 2**31 - 1
+    mask = alive[:, None]
+    tri_i32 = xp.where(mask, tri_i32, xp.asarray(sentinel, dtype=i32))
+    tri_f32 = xp.where(mask, tri_f32, f32(0.0))
+    return tri_i32, tri_f32
 
 
 # ---------------------------------------------------------------------------
