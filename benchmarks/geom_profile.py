@@ -49,15 +49,15 @@ def main() -> int:
     ).astype(np.float32))
 
     @jax.jit
-    def run(mats_, cpos, cattrs, cnode):
+    def run(mats_, ccols, tri_node):
         def step(carry, m):
-            ti, tf = g.geometry_pipeline(jnp, cpos, cattrs, None, m, cnode,
+            ti, tf = g.geometry_pipeline(jnp, ccols, None, None, m, tri_node,
                                          W, H)
             return carry + jnp.sum(ti[:, 0]) + jnp.sum(tf[:, 0]), None
         out, _ = jax.lax.scan(step, jnp.float32(0.0), mats_)
         return out
 
-    args = (mats, b["corner_positions"], b["corner_attrs"], b["corner_node"])
+    args = (mats, b["corner_cols"], b["tri_node"])
     np.asarray(run(*args))  # compile + warm
     with jax.profiler.trace(trace_dir):
         np.asarray(run(*args))
