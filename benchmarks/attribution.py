@@ -57,9 +57,9 @@ def main() -> int:
     mats = jnp.asarray(mats.astype(np.float32))
 
     def geom(m):
+        # Production geometry: the column (SoA) per-corner pipeline.
         return g.geometry_pipeline(
-            jnp, b["positions"], b["attrs"], b["tri_vidx"], m,
-            b["vert_node"], W, H
+            jnp, b["corner_cols"], None, None, m, b["tri_node"], W, H
         )
 
     def stage_a(m):

@@ -391,3 +391,84 @@ def test_bin_cap_auto_lists_everything_small_scene():
     assert ((ntx * nty)[valid] <= cap).all(), (
         "auto cap leaves head triangles in the leftover hierarchy"
     )
+
+
+def _soup_setup(W=384, H=128, n=300, seed=7):
+    """Dense soup with clipped fan rows + overlap on a 3x4-tile frame."""
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    scene, mesh_data = make_triangle_soup(
+        n, seed=seed, extent=2.0, behind_camera_fraction=0.1
+    )
+    v = mesh_data.vertex_data.reshape(-1, 16)
+    for t in range(40, 60):
+        v[3 * t, 2] += 15.0  # one vertex behind the near plane -> clip fan
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    n_input = g.head_count(ti.shape[0])
+    assert (ti[n_input:, g.I_VALID] > 0).sum() > 0, "need clipped fan rows"
+    return jnp.asarray(ti), jnp.asarray(tf), W, H
+
+
+def test_small_binned_raster_matches_hierarchy_and_oracle():
+    """The sort-free small-scene per-tile-list raster (strided-offsets
+    contract) is bit-exact with the hierarchy kernel — clipped fan rows
+    ride its phase-2 hierarchy — and matches the CPU oracle."""
+    ti, tf, W, H = _soup_setup()
+    color_s, depth_s = rp.rasterize_setup_pallas_small(
+        ti, tf, W, H, interpret=True
+    )
+    color_h, depth_h = rp.rasterize_setup_pallas(ti, tf, W, H, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(depth_s).view(np.uint32),
+        np.asarray(depth_h).view(np.uint32),
+    )
+    np.testing.assert_array_equal(np.asarray(color_s), np.asarray(color_h))
+
+    rgba_cpu, depth_cpu = raster_cpu.rasterize_setup(
+        np.asarray(ti), np.asarray(tf), W, H
+    )
+    img = np.asarray(rp.unpack_rgba8(color_s))
+    img_cpu = np.floor(np.clip(rgba_cpu, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    assert (depth_cpu < 1).mean() > 0.1
+    np.testing.assert_allclose(np.asarray(depth_s), depth_cpu, atol=2e-6)
+    assert np.abs(img.astype(int) - img_cpu.astype(int)).max() <= 1
+
+
+def test_small_binned_gbuffer_matches_vmem_gbuffer():
+    ti, tf, W, H = _soup_setup(seed=11)
+    ref = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas(
+        ti, tf, W, H, interpret=True
+    )]
+    small = [np.asarray(o) for o in rp.rasterize_gbuffer_pallas_small(
+        ti, tf, W, H, interpret=True
+    )]
+    for a, b in zip(ref, small):
+        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+
+def test_small_binned_depth_matches_depth_kernel():
+    ti, tf, W, H = _soup_setup(seed=13)
+    ref = rp.rasterize_depth_pallas(ti, tf, W, H, interpret=True)
+    small = rp.rasterize_depth_pallas_small(ti, tf, W, H, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref).view(np.uint32), np.asarray(small).view(np.uint32)
+    )
+
+
+def test_small_bins_auto_dispatch_bounds():
+    """"auto" routes small scenes (head rows <= SMALL_BIN_MAX_ROWS) to the
+    sort-free path and larger ones to the hierarchy."""
+    small_rows = g.capped_rows(256)
+    big_rows = g.capped_rows(rp.SMALL_BIN_MAX_ROWS + 1)
+    assert rp._use_small_bins("auto", small_rows)
+    assert not rp._use_small_bins("auto", big_rows)
+    assert not rp._use_small_bins("hierarchy", small_rows)
+    assert rp._use_small_bins("small", big_rows)  # explicit (prep asserts)

@@ -28,10 +28,11 @@ class RenderConfig:
     # "deferred" (3)
     pipeline: str = "flat"
     # Raster binning: "hierarchy" (union-bbox block/superblock skip),
-    # "tile_lists" (per-tile sorted lists — each tile loops only its own
-    # triangles), or "auto" (tile_lists for small/medium VMEM-resident
-    # scenes, hierarchy above — ops/raster_pallas.py, measured in
-    # docs/PERFORMANCE.md).
+    # "tile_lists" (per-tile sorted lists via the pair-argsort prep — the
+    # explicit choice for dense soups), "small" (sort-free dense-mask
+    # per-tile lists, small scenes only), or "auto" (small up to
+    # SMALL_BIN_MAX_ROWS setup rows, hierarchy above —
+    # ops/raster_pallas.py, measured in docs/PERFORMANCE.md).
     binning: str = "auto"
     shadow_size: int = 1024
     # Shadow quality (config 2): constant + slope-scaled depth bias and the

@@ -750,7 +750,32 @@ class Renderer:
             b = self._buffers()
             tex = getattr(self, "texture", None)
 
+            # Flat/pallas scan body renders the PADDED packed-u32 frame
+            # (no per-frame crop/unpack — those full-frame passes cost as
+            # much as the raster kernel at 1080p) and digests it directly;
+            # the presented frame is produced ONCE after the scan.
+            raw_frame = None
+            if pipeline == "flat" and self.backend == "pallas":
+                cfg = self.config
+
+                def raw_frame(positions, attrs, tri_vidx, node_ids,
+                              matrices):
+                    return raster_pallas.render_frame_pallas(
+                        positions, attrs, tri_vidx, matrices, node_ids,
+                        cfg.width, cfg.height,
+                        cfg.pad_height, cfg.pad_width,
+                        interpret=cfg.debug, binning=cfg.binning,
+                        vertex_shader=self._vertex_shader, raw_packed=True,
+                    )
+
             def body(carry, x):
+                if raw_frame is not None:
+                    packed, _depth = raw_frame(
+                        *self._geom_args(b), x["matrices"])
+                    # Every frame is fully rasterized + resolved; the
+                    # digest reduces the packed plane (convert fuses into
+                    # the reduce — one pass, no 4-channel unpack).
+                    return carry, jnp.sum(packed, dtype=jnp.float32)
                 if pipeline == "flat":
                     color, depth = frame(*self._geom_args(b), x["matrices"])
                 elif pipeline == "lit":
@@ -775,14 +800,40 @@ class Renderer:
                 else:
                     raise ValueError(pipeline)
                 digest = jnp.sum(color.astype(jnp.float32))
-                # The last frame rides the carry (the swapchain keeps only
-                # the final image); accumulating frames in the scan ys
-                # would allocate N full framebuffers.
-                return (color, depth), digest
+                # Frames do NOT ride the carry (the swapchain keeps only
+                # the final image, which is re-rendered once after the
+                # scan); carrying full framebuffers costs a per-frame
+                # copy, and accumulating them in the scan ys would
+                # allocate N of them.
+                return carry, digest
 
-            def run(xs_dev, init_color, init_depth):
-                (color, depth), digests = jax.lax.scan(
-                    body, (init_color, init_depth), xs_dev)
+            # The presented frame: re-run the standard (cropped, unpacked)
+            # frame once on the last frame's constants, outside the scan.
+            def run(xs_dev):
+                _, digests = jax.lax.scan(body, 0, xs_dev)
+                last = jax.tree.map(lambda v: v[-1], xs_dev)
+                if pipeline == "flat":
+                    color, depth = frame(*self._geom_args(b),
+                                         last["matrices"])
+                elif pipeline == "lit":
+                    color, depth = frame(
+                        b, tex.oct_atlas_u32, last["matrices"],
+                        last["normal_mats"], last["inv_view_proj"],
+                        last["cam_pos"], self.light_pos, self.light_color,
+                    )
+                elif pipeline == "shadowed":
+                    color, depth, _sm = frame(
+                        b, tex.oct_atlas_u32, last["matrices"],
+                        last["normal_mats"], last["inv_view_proj"],
+                        last["cam_pos"], last["light_matrices"],
+                        last["light_vp"], self.light_dir, self.light_color,
+                    )
+                else:  # deferred
+                    color, depth = frame(
+                        b, last["matrices"], last["normal_mats"],
+                        last["inv_view_proj"], last["cam_pos"],
+                        self.lights[0], self.lights[1], last["view_proj"],
+                    )
                 return digests, color, depth
 
             return jax.jit(run)
@@ -791,10 +842,7 @@ class Renderer:
 
         xs_dev = {k: jax.device_put(jnp.asarray(v), self.device)
                   for k, v in xs.items()}
-        h, w = self.config.height, self.config.width
-        init_color = jnp.zeros((h, w, 4), jnp.uint8)
-        init_depth = jnp.ones((h, w), jnp.float32)
-        digests, color, depth = fn(xs_dev, init_color, init_depth)
+        digests, color, depth = fn(xs_dev)
         self._pending = (color, depth)
         self.stats.update(
             triangles=self.flat.num_triangles * num_frames,

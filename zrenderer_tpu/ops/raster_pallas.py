@@ -1556,6 +1556,10 @@ def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         return rasterize_depth_pallas_binned(
             tri_i32, tri_f32, width, height, interpret=interpret
         )
+    if _use_small_bins(binning, tri_i32.shape[0]):
+        return rasterize_depth_pallas_small(
+            tri_i32, tri_f32, width, height, interpret=interpret
+        )
     return rasterize_depth_pallas(
         tri_i32, tri_f32, width, height, interpret=interpret
     )
@@ -1657,6 +1661,8 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         raster = rasterize_gbuffer_pallas_hbm
     elif _use_tile_lists(binning, tri_i32.shape[0]):
         raster = rasterize_gbuffer_pallas_binned
+    elif _use_small_bins(binning, tri_i32.shape[0]):
+        raster = rasterize_gbuffer_pallas_small
     else:
         raster = rasterize_gbuffer_pallas
     outs = raster(
@@ -1688,13 +1694,11 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
 # oracle contract bit-exact.
 
 def _use_tile_lists(binning: str, rows: int) -> bool:
-    # "auto" currently resolves to the hierarchy kernels: measured on the
-    # demo scene (slope-timed, docs/PERFORMANCE.md), the per-frame pair
-    # argsort (~1.1 ms at 65K pairs) plus the leftover block scan for
-    # cap-exceeding triangles outweighs the binned kernel's win (0.38 vs
-    # 1.86 ms kernel-only).  tile_lists stays the right explicit choice
-    # for dense unordered soups where hot tiles otherwise scan most of
-    # the triangle list.
+    # Explicit only: the pair-argsort prep (~1.1 ms at 32K pairs) makes
+    # this a loss for small scenes ("auto" uses the sort-free small-bin
+    # path there instead, see prepare_binned_small) — tile_lists is the
+    # right explicit choice for dense unordered soups past the small-bin
+    # bound, where hot tiles otherwise scan most of the triangle list.
     return binning == "tile_lists"
 
 
@@ -1795,7 +1799,7 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
                  gbuf_refs=None, gbuf_scratch=None,
                  const_refs=None, const_scratch=None,
-                 depth_only=False):
+                 depth_only=False, offs_stride=1):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1876,10 +1880,13 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
             ):
                 buf[...] = jnp.where(ok, tf_ref[t, col], buf[...])
 
-    # Phase 1: this tile's own triangle list.
+    # Phase 1: this tile's own triangle list.  offs_stride=1: shared
+    # boundaries (sorted-pair layout, offs[t]..offs[t+1]).  offs_stride=2:
+    # per-tile (start, end) pairs (padded per-tile rows, the sort-free
+    # small-scene prep — see prepare_binned_small).
     tile_lin = tile_i * tiles_x + tile_j
-    start = offs_ref[tile_lin]
-    end = offs_ref[tile_lin + 1]
+    start = offs_ref[offs_stride * tile_lin]
+    end = offs_ref[offs_stride * tile_lin + 1]
 
     def list_body(k, carry):
         eval_triangle(list_ref[k, 0])
@@ -1984,9 +1991,11 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
 
 
 def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
-                   color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den):
+                   color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
+                   offs_stride=1):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
-                 color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den)
+                 color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
+                 offs_stride=offs_stride)
 
 
 def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
@@ -1995,21 +2004,23 @@ def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
                            met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
                            tex_ref, zbuf, tidbuf, nr, ng, nb, den,
                            nu, nv, nnx, nny, nnz,
-                           smet, srgh, semr, semg, semb, stex):
+                           smet, srgh, semr, semg, semb, stex,
+                           offs_stride=1):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
                  gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
                  gbuf_scratch=(nu, nv, nnx, nny, nnz),
                  const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
                              tex_ref),
-                 const_scratch=(smet, srgh, semr, semg, semb, stex))
+                 const_scratch=(smet, srgh, semr, semg, semb, stex),
+                 offs_stride=offs_stride)
 
 
 def _binned_depth_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
-                         tf_ref, depth_ref, zbuf):
+                         tf_ref, depth_ref, zbuf, offs_stride=1):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  None, depth_ref, zbuf, None, None, None, None, None,
-                 depth_only=True)
+                 depth_only=True, offs_stride=offs_stride)
 
 
 def _binned_grid_spec(grid, num_outs, extra_scratch):
@@ -2114,6 +2125,182 @@ def rasterize_depth_pallas_binned(tri_i32, tri_f32, width: int, height: int,
     return depth
 
 
+# ---------------------------------------------------------------------------
+# Sort-free small-scene binning (the demo-scene fast path)
+# ---------------------------------------------------------------------------
+# The binned kernel beats the hierarchy kernel ~5x on the 120-triangle demo
+# (0.38 vs 1.86 ms kernel-only at 1080p: a hierarchy tile scans all 128
+# block slots at ~25 ns of loop/branch machinery each, a listed tile loops
+# only its own few triangles) — but prepare_binned_inputs' pair argsort
+# (~1.1 ms at 32K pairs) used to eat the whole win, so "auto" resolved to
+# the hierarchy.  At small row counts the per-tile lists don't need the
+# pair expansion at all: the dense (tiles, rows) hit-mask fits comfortably,
+# and one row-wise jnp.sort of where(hit, row_id, R) yields each tile's
+# triangle ids ascending with R-valued padding at the end (~30x less sort
+# work than the pair argsort).  No footprint cap, no leftovers: clipped
+# fan rows are listed like everything else, so the phase-2 hierarchy
+# receives a single dead superblock and never fires.
+
+SMALL_BIN_MAX_ROWS = 1024  # dense-mask binning bound (HEAD setup rows)
+
+
+def _use_small_bins(binning: str, rows: int) -> bool:
+    if binning == "small":
+        return True
+    return binning == "auto" and g.head_count(rows) <= SMALL_BIN_MAX_ROWS
+
+
+def prepare_binned_small(tri_i32, tri_f32, width: int, height: int):
+    """Sort-free per-tile triangle lists for small scenes.
+
+    Lists cover the HEAD rows (slot-0, unclipped triangles — the capped
+    layout's 6x fan-slot tail would otherwise dominate the mask/sort
+    cost); clipped-fan rows go through the phase-2 hierarchy exactly as
+    in prepare_binned_inputs, which is all-dead (one superblock test per
+    tile) whenever nothing clips.
+
+    Returns (offs2, lists, supers, blocks, ti, tf) in the STRIDED offsets
+    contract (offs_stride=2): tile t's list spans
+    lists[offs2[2t] : offs2[2t+1]] with offs2[2t] = t * n_head — per-tile
+    rows padded to n_head entries, so no global compaction (and no sort
+    by tile) is ever needed.  List entries are ascending row ids; the
+    kernel's id tie-break makes processing order immaterial (bit-exact
+    with the sequential hierarchy kernels, tests/test_binning.py).
+    """
+    tiles_x = width // TILE_W
+    tiles_y = height // TILE_H
+    num_tiles = tiles_x * tiles_y
+    n_head = g.head_count(tri_i32.shape[0])
+    assert n_head <= SMALL_BIN_MAX_ROWS, (
+        f"prepare_binned_small: {n_head} head rows > {SMALL_BIN_MAX_ROWS} "
+        "(use prepare_binned_inputs / the hierarchy kernels)"
+    )
+    t = tri_i32.shape[0]
+    pad = (-t) % g.RASTER_BLOCK
+    if pad:
+        tri_i32 = jnp.concatenate(
+            [tri_i32, jnp.zeros((pad, g.NI32), jnp.int32)
+             .at[:, g.I_JMIN].set(1)
+             .at[:, g.I_BIAS0].set(2**31 - 1)
+             .at[:, g.I_BIAS1].set(2**31 - 1)
+             .at[:, g.I_BIAS2].set(2**31 - 1)], axis=0
+        )
+        tri_f32 = jnp.concatenate(
+            [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
+        )
+
+    head = tri_i32[:n_head]
+    live = (
+        (head[:, g.I_VALID] > 0)
+        & (head[:, g.I_JMIN] <= head[:, g.I_JMAX])
+        & (head[:, g.I_IMIN] <= head[:, g.I_IMAX])
+    )
+    tj0 = head[:, g.I_JMIN] // TILE_W
+    tj1 = head[:, g.I_JMAX] // TILE_W
+    ty0 = head[:, g.I_IMIN] // TILE_H
+    ty1 = head[:, g.I_IMAX] // TILE_H
+    rows = jnp.arange(tiles_y, dtype=jnp.int32)[:, None, None]
+    cols = jnp.arange(tiles_x, dtype=jnp.int32)[None, :, None]
+    hit = ((rows >= ty0) & (rows <= ty1)
+           & (cols >= tj0) & (cols <= tj1) & live)  # (ty, tx, n_head)
+    hit = hit.reshape(num_tiles, n_head)
+    counts = hit.sum(axis=1, dtype=jnp.int32)
+    ids = jnp.arange(n_head, dtype=jnp.int32)
+    lists = jnp.sort(
+        jnp.where(hit, ids[None, :], jnp.int32(n_head)), axis=1
+    )
+    base = jnp.arange(num_tiles, dtype=jnp.int32) * n_head
+    offs2 = jnp.stack([base, base + counts], axis=1).reshape(-1)
+
+    # Phase-2 hierarchy over the fan tail only: empty every head row so
+    # the block/superblock tables skip them (the edge/interpolation
+    # columns stay untouched — the list loop shares `hier`).
+    row_listed = jnp.arange(tri_i32.shape[0]) < n_head
+    hier = tri_i32
+    hier = hier.at[:, g.I_JMIN].set(
+        jnp.where(row_listed, 1, hier[:, g.I_JMIN]))
+    hier = hier.at[:, g.I_JMAX].set(
+        jnp.where(row_listed, 0, hier[:, g.I_JMAX]))
+    hier = hier.at[:, g.I_VALID].set(
+        jnp.where(row_listed, 0, hier[:, g.I_VALID]))
+    blocks = g.block_bounds(jnp, hier)
+    blocks, supers = g.super_bounds(jnp, blocks)
+    return (offs2, lists.reshape(num_tiles * n_head, 1), supers, blocks,
+            hier, tri_f32)
+
+
+def rasterize_setup_pallas_small(tri_i32, tri_f32, width: int, height: int,
+                                 interpret: bool = False):
+    """Small-scene per-tile-list raster (sort-free prep), bit-identical to
+    rasterize_setup_pallas / rasterize_setup_pallas_binned."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+        tri_i32, tri_f32, width, height
+    )
+    color, depth = _pallas_call(
+        partial(_binned_kernel, offs_stride=2),
+        grid_spec=_binned_grid_spec(
+            grid, 2,
+            [
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32) for _ in range(4)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.uint32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(offs2, supers, blocks, lists, ti, tf)
+    return color, depth
+
+
+def rasterize_gbuffer_pallas_small(tri_i32, tri_f32, width: int, height: int,
+                                   interpret: bool = False):
+    """Small-scene per-tile-list G-buffer raster — same 13 planes as
+    rasterize_gbuffer_pallas, sort-free prep."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+        tri_i32, tri_f32, width, height
+    )
+    plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
+    outs = _pallas_call(
+        partial(_binned_gbuffer_kernel, offs_stride=2),
+        grid_spec=_binned_grid_spec(
+            grid, 13,
+            [
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(15)],
+        ),
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
+        interpret=interpret,
+    )(offs2, supers, blocks, lists, ti, tf)
+    return outs
+
+
+def rasterize_depth_pallas_small(tri_i32, tri_f32, width: int, height: int,
+                                 interpret: bool = False):
+    """Small-scene per-tile-list depth-only raster (shadow-map pass)."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+        tri_i32, tri_f32, width, height
+    )
+    (depth,) = _pallas_call(
+        partial(_binned_depth_kernel, offs_stride=2),
+        grid_spec=_binned_grid_spec(
+            grid, 1, [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)],
+        interpret=interpret,
+    )(offs2, supers, blocks, lists, ti, tf)
+    return depth
+
+
 def unpack_rgba8(packed_u32):
     """(H, W) u32 -> (H, W, 4) u8 (little-endian channel order r,g,b,a)."""
     p = packed_u32
@@ -2132,7 +2319,7 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                         width: int, height: int,
                         pad_height: int, pad_width: int,
                         interpret: bool = False, binning: str = "auto",
-                        vertex_shader=None):
+                        vertex_shader=None, raw_packed: bool = False):
     """Full frame: shared geometry pipeline + Pallas raster.
 
     Geometry runs at the true (width, height) viewport; the raster target is
@@ -2141,10 +2328,11 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     from HBM; small scenes keep it VMEM-resident.
 
     ``binning``: "hierarchy" (union-bbox block/superblock skip),
-    "tile_lists" (per-tile sorted triangle lists — each tile loops only
-    its own triangles instead of scanning whole 128-slot blocks), or
-    "auto" (tile_lists up to AUTO_TILE_LIST_MAX_TRIS rows, hierarchy
-    above; VMEM-resident scenes only, larger ones stream from HBM).
+    "tile_lists" (per-tile sorted triangle lists via the pair-argsort
+    prep — the explicit choice for dense soups), "small" (sort-free
+    dense-mask per-tile lists, small scenes only), or "auto" (small up
+    to SMALL_BIN_MAX_ROWS rows, hierarchy above; VMEM-resident scenes
+    only, larger ones stream from HBM).
     """
     tri_i32, tri_f32 = g.geometry_pipeline(
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
@@ -2170,11 +2358,18 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         raster = rasterize_setup_pallas_hbm
     elif _use_tile_lists(binning, tri_i32.shape[0]):
         raster = rasterize_setup_pallas_binned
+    elif _use_small_bins(binning, tri_i32.shape[0]):
+        raster = rasterize_setup_pallas_small
     else:
         raster = rasterize_setup_pallas
     color, depth = raster(
         tri_i32, tri_f32, pad_width, pad_height, interpret=interpret
     )
+    if raw_packed:
+        # Benchmark/animation-scan form: the PADDED packed-u32 color and
+        # depth, no crop and no u8 unpack — the per-frame digest reduces
+        # the packed plane directly, saving several full-frame passes.
+        return color, depth
     return color[:height, :width], depth[:height, :width]
 
 
