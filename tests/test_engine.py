@@ -362,3 +362,32 @@ def test_custom_vertex_shader():
     r.set_vertex_shader(None)
     again, _ = r.render_and_read()
     np.testing.assert_array_equal(again, base)
+
+
+def test_render_animation_digests_and_last_frame(renderer):
+    """The single-dispatch animation scan yields one positive digest per
+    frame and the returned last frame equals a plain render of the same
+    camera (the presented frame is re-rendered once outside the scan)."""
+    digests, (color, depth) = renderer.render_animation(num_frames=3)
+    d = np.asarray(digests)
+    assert d.shape == (3,) and (d > 0).all()
+    img, dep = renderer.render_and_read()
+    np.testing.assert_array_equal(np.asarray(color), img)
+    np.testing.assert_array_equal(np.asarray(depth), dep)
+
+
+def test_render_animation_pallas_raw_digest_path():
+    """The flat/pallas scan body (raw packed-u32 digest, no crop/unpack)
+    agrees with the presented frame and produces stable digests across
+    identical frames (interpret-mode kernel on CPU)."""
+    config = RenderConfig(width=128, height=64, backend="pallas",
+                          debug=True, tri_align=64)
+    r = Renderer(config)
+    scene, mesh_data = make_test_scene()
+    r.load_scene(scene, mesh_data)
+    digests, (color, depth) = r.render_animation(num_frames=2)
+    d = np.asarray(digests)
+    assert d.shape == (2,) and (d > 0).all()
+    assert d[0] == d[1]  # same camera both frames
+    img, _ = r.render_and_read()
+    np.testing.assert_array_equal(np.asarray(color), img)

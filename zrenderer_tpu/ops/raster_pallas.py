@@ -1799,7 +1799,7 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
                  gbuf_refs=None, gbuf_scratch=None,
                  const_refs=None, const_scratch=None,
-                 depth_only=False, offs_stride=1):
+                 depth_only=False, local_lists=False):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1880,13 +1880,21 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
             ):
                 buf[...] = jnp.where(ok, tf_ref[t, col], buf[...])
 
-    # Phase 1: this tile's own triangle list.  offs_stride=1: shared
-    # boundaries (sorted-pair layout, offs[t]..offs[t+1]).  offs_stride=2:
-    # per-tile (start, end) pairs (padded per-tile rows, the sort-free
-    # small-scene prep — see prepare_binned_small).
+    # Phase 1: this tile's own triangle list.
+    # local_lists=False: one flat list, shared boundaries (sorted-pair
+    #   layout): span = offs[t] .. offs[t+1].
+    # local_lists=True: list_ref is a PER-TILE block (the sort-free
+    #   small-scene prep, prepare_binned_small): span = 0 .. counts[t].
+    #   The per-tile BlockSpec slice keeps VMEM at one (n_head, 1) block
+    #   instead of the whole (tiles*n_head, 1) array, whose 1->128 lane
+    #   padding would otherwise need tens of MB of VMEM.
     tile_lin = tile_i * tiles_x + tile_j
-    start = offs_ref[offs_stride * tile_lin]
-    end = offs_ref[offs_stride * tile_lin + 1]
+    if local_lists:
+        start = 0
+        end = offs_ref[tile_lin]
+    else:
+        start = offs_ref[tile_lin]
+        end = offs_ref[tile_lin + 1]
 
     def list_body(k, carry):
         eval_triangle(list_ref[k, 0])
@@ -1992,10 +2000,10 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
 
 def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                    color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
-                   offs_stride=1):
+                   local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
-                 offs_stride=offs_stride)
+                 local_lists=local_lists)
 
 
 def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
@@ -2005,7 +2013,7 @@ def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
                            tex_ref, zbuf, tidbuf, nr, ng, nb, den,
                            nu, nv, nnx, nny, nnz,
                            smet, srgh, semr, semg, semb, stex,
-                           offs_stride=1):
+                           local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
                  gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
@@ -2013,14 +2021,14 @@ def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
                  const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
                              tex_ref),
                  const_scratch=(smet, srgh, semr, semg, semb, stex),
-                 offs_stride=offs_stride)
+                 local_lists=local_lists)
 
 
 def _binned_depth_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
-                         tf_ref, depth_ref, zbuf, offs_stride=1):
+                         tf_ref, depth_ref, zbuf, local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  None, depth_ref, zbuf, None, None, None, None, None,
-                 depth_only=True, offs_stride=offs_stride)
+                 depth_only=True, local_lists=local_lists)
 
 
 def _binned_grid_spec(grid, num_outs, extra_scratch):
@@ -2159,13 +2167,14 @@ def prepare_binned_small(tri_i32, tri_f32, width: int, height: int):
     in prepare_binned_inputs, which is all-dead (one superblock test per
     tile) whenever nothing clips.
 
-    Returns (offs2, lists, supers, blocks, ti, tf) in the STRIDED offsets
-    contract (offs_stride=2): tile t's list spans
-    lists[offs2[2t] : offs2[2t+1]] with offs2[2t] = t * n_head — per-tile
-    rows padded to n_head entries, so no global compaction (and no sort
-    by tile) is ever needed.  List entries are ascending row ids; the
-    kernel's id tie-break makes processing order immaterial (bit-exact
-    with the sequential hierarchy kernels, tests/test_binning.py).
+    Returns (counts, lists, supers, blocks, ti, tf) in the LOCAL-lists
+    contract (local_lists=True): lists is (num_tiles * n_head, 1) with
+    tile t owning rows [t*n_head, (t+1)*n_head) — the kernel receives one
+    (n_head, 1) block per tile via its BlockSpec and loops entries
+    [0, counts[t]).  Per-tile rows are padded to n_head, so no global
+    compaction (and no sort by tile) is ever needed.  List entries are
+    ascending row ids; the kernel's id tie-break makes processing order
+    immaterial (bit-exact with the sequential hierarchy kernels).
     """
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
@@ -2209,8 +2218,6 @@ def prepare_binned_small(tri_i32, tri_f32, width: int, height: int):
     lists = jnp.sort(
         jnp.where(hit, ids[None, :], jnp.int32(n_head)), axis=1
     )
-    base = jnp.arange(num_tiles, dtype=jnp.int32) * n_head
-    offs2 = jnp.stack([base, base + counts], axis=1).reshape(-1)
 
     # Phase-2 hierarchy over the fan tail only: empty every head row so
     # the block/superblock tables skip them (the edge/interpolation
@@ -2225,8 +2232,32 @@ def prepare_binned_small(tri_i32, tri_f32, width: int, height: int):
         jnp.where(row_listed, 0, hier[:, g.I_VALID]))
     blocks = g.block_bounds(jnp, hier)
     blocks, supers = g.super_bounds(jnp, blocks)
-    return (offs2, lists.reshape(num_tiles * n_head, 1), supers, blocks,
+    return (counts, lists.reshape(num_tiles * n_head, 1), supers, blocks,
             hier, tri_f32)
+
+
+def _small_grid_spec(grid, n_head, num_outs, extra_scratch):
+    """Grid spec for the small-scene path: counts scalar-prefetched, the
+    per-tile list delivered as ONE (n_head, 1) block per grid step (the
+    whole (tiles*n_head, 1) array in VMEM would lane-pad 1 -> 128 and
+    need tens of MB)."""
+    tiles_x = grid[1]
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # counts -> SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (fan hier)
+            pl.BlockSpec((n_head, 1), lambda i, j, *_: (i * tiles_x + j, 0),
+                         memory_space=pltpu.VMEM),  # this tile's list
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ti (full rows)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tf
+        ],
+        out_specs=[tile_spec] * num_outs,
+        scratch_shapes=extra_scratch,
+    )
 
 
 def rasterize_setup_pallas_small(tri_i32, tri_f32, width: int, height: int,
@@ -2235,13 +2266,14 @@ def rasterize_setup_pallas_small(tri_i32, tri_f32, width: int, height: int,
     rasterize_setup_pallas / rasterize_setup_pallas_binned."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
-    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+    counts, lists, supers, blocks, ti, tf = prepare_binned_small(
         tri_i32, tri_f32, width, height
     )
+    n_head = lists.shape[0] // (grid[0] * grid[1])
     color, depth = _pallas_call(
-        partial(_binned_kernel, offs_stride=2),
-        grid_spec=_binned_grid_spec(
-            grid, 2,
+        partial(_binned_kernel, local_lists=True),
+        grid_spec=_small_grid_spec(
+            grid, n_head, 2,
             [
                 pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
                 pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
@@ -2252,7 +2284,7 @@ def rasterize_setup_pallas_small(tri_i32, tri_f32, width: int, height: int,
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         interpret=interpret,
-    )(offs2, supers, blocks, lists, ti, tf)
+    )(counts, supers, blocks, lists, ti, tf)
     return color, depth
 
 
@@ -2262,14 +2294,15 @@ def rasterize_gbuffer_pallas_small(tri_i32, tri_f32, width: int, height: int,
     rasterize_gbuffer_pallas, sort-free prep."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
-    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+    counts, lists, supers, blocks, ti, tf = prepare_binned_small(
         tri_i32, tri_f32, width, height
     )
+    n_head = lists.shape[0] // (grid[0] * grid[1])
     plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
     outs = _pallas_call(
-        partial(_binned_gbuffer_kernel, offs_stride=2),
-        grid_spec=_binned_grid_spec(
-            grid, 13,
+        partial(_binned_gbuffer_kernel, local_lists=True),
+        grid_spec=_small_grid_spec(
+            grid, n_head, 13,
             [
                 pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
                 pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
@@ -2278,7 +2311,7 @@ def rasterize_gbuffer_pallas_small(tri_i32, tri_f32, width: int, height: int,
         ),
         out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
         interpret=interpret,
-    )(offs2, supers, blocks, lists, ti, tf)
+    )(counts, supers, blocks, lists, ti, tf)
     return outs
 
 
@@ -2287,17 +2320,18 @@ def rasterize_depth_pallas_small(tri_i32, tri_f32, width: int, height: int,
     """Small-scene per-tile-list depth-only raster (shadow-map pass)."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
-    offs2, lists, supers, blocks, ti, tf = prepare_binned_small(
+    counts, lists, supers, blocks, ti, tf = prepare_binned_small(
         tri_i32, tri_f32, width, height
     )
+    n_head = lists.shape[0] // (grid[0] * grid[1])
     (depth,) = _pallas_call(
-        partial(_binned_depth_kernel, offs_stride=2),
-        grid_spec=_binned_grid_spec(
-            grid, 1, [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        partial(_binned_depth_kernel, local_lists=True),
+        grid_spec=_small_grid_spec(
+            grid, n_head, 1, [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)],
         interpret=interpret,
-    )(offs2, supers, blocks, lists, ti, tf)
+    )(counts, supers, blocks, lists, ti, tf)
     return depth
 
 
