@@ -59,6 +59,17 @@ def main() -> int:
         scene = Scene.load("content/scenes/test_scene/scene.bin")
         mesh_data = MeshData.load("content/scenes/test_scene/meshes.bin")
     r.load_scene(scene, mesh_data)
+    if pipeline in ("lit", "shadowed"):
+        # Match benchmarks/configs.py: a real 256^2 trilinear texture
+        # (the default 1x1 environment takes the fast-path sampler and
+        # is not representative).
+        from zrenderer_tpu.engine.textures import Texture
+
+        y, x = np.mgrid[0:256, 0:256]
+        c = (((x // 16) ^ (y // 16)) & 1).astype(np.float32)
+        img = np.stack(
+            [c, 0.5 + 0.5 * c, 1.0 - 0.5 * c, np.ones_like(c)], axis=-1)
+        r.set_environment(texture=Texture.from_array(img))
 
     digests, _ = r.render_animation(num_frames=frames)  # compile + warm
     np.asarray(digests)
