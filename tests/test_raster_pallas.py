@@ -370,6 +370,10 @@ def test_bin_cap_auto_lists_everything_small_scene():
     """With the auto cap, every valid head triangle of the 120-tri test
     scene is listed (nothing rides the leftover hierarchy) — the property
     that makes tile_lists the small-scene default."""
+    import pytest
+    if rp.TILE_H != 32:
+        pytest.skip("auto bin cap is tuned for the default 32-row tiles "
+                    "(footprints double under the ZRENDERER_TILE_H knob)")
     W, H = 1920, 1088  # the headline target (padded), large cube faces
     scene, mesh_data = make_test_scene()
     flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)

@@ -197,3 +197,40 @@ def test_many_light_deferred_matches_xla_reference(on_tpu):
         imgs[backend] = img.astype(np.int32)
     d = np.abs(imgs["pallas"] - imgs["xla"])
     assert d.max() <= 2, (d.max(), (d > 2).mean())
+
+
+def test_small_binned_kernels_compiled_match_hierarchy(on_tpu, scene_inputs):
+    """Compiled small-scene per-tile-list kernels (sort-free prep,
+    local_lists blocks) are bit-identical to the hierarchy kernels on
+    hardware — flat, G-buffer (all 13 planes), and depth-only."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops import geometry as g
+    from zrenderer_tpu.ops import raster_pallas as rp
+
+    scene, mesh_data, flat, matrices = scene_inputs
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    ti, tf = jnp.asarray(ti), jnp.asarray(tf)
+
+    ch, dh = rp.rasterize_setup_pallas(ti, tf, W, H)
+    cs, ds = rp.rasterize_setup_pallas_small(ti, tf, W, H)
+    np.testing.assert_array_equal(np.asarray(ch), np.asarray(cs))
+    np.testing.assert_array_equal(
+        np.asarray(dh).view(np.uint32), np.asarray(ds).view(np.uint32)
+    )
+
+    gh = rp.rasterize_gbuffer_pallas(ti, tf, W, H)
+    gs = rp.rasterize_gbuffer_pallas_small(ti, tf, W, H)
+    for a, b in zip(gh, gs):
+        np.testing.assert_array_equal(
+            np.asarray(a).view(np.uint32), np.asarray(b).view(np.uint32)
+        )
+
+    zh = rp.rasterize_depth_pallas(ti, tf, W, H)
+    zs = rp.rasterize_depth_pallas_small(ti, tf, W, H)
+    np.testing.assert_array_equal(
+        np.asarray(zh).view(np.uint32), np.asarray(zs).view(np.uint32)
+    )

@@ -31,9 +31,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from zrenderer_tpu.ops import geometry as g
 
-TILE_H = 32
+# Screen-tile shape.  TILE_W is the lane width (fixed by hardware).
+# TILE_H is overridable for experiments (ZRENDERER_TILE_H): the
+# per-triangle vector cost inside every kernel scales with TILE_H/8
+# vregs per pass, while per-tile fixed costs and multi-tile triangle
+# duplication scale inversely — 32 measured best for the demo scene,
+# see docs/PERFORMANCE.md for the 1M-triangle sweep.
+TILE_H = int(os.environ.get("ZRENDERER_TILE_H", "32"))
 TILE_W = 128
 
 # Triangle-loop unroll factor: a Mosaic fori_loop iteration costs ~120 ns
