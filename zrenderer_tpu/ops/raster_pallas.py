@@ -1710,6 +1710,10 @@ def _use_tile_lists(binning: str, rows: int) -> bool:
     return binning == "tile_lists"
 
 
+# HBM list streaming: pair lists DMA into SMEM in LIST_CHUNK slices at
+# 1024-aligned bases (1-D HBM slicing constraint, see _hbm_kernel_body).
+LIST_CHUNK = 2048
+
 BIN_CAP = 16  # default pair slots per listed triangle (bbox tile count)
 # Static total-pair budget that auto-sizes ``cap``: pairs = n_input * cap
 # trade prepare-sort time against leftover-hierarchy scans in the kernel.
@@ -1783,6 +1787,13 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int,
     offsets = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
+    # Flat 1-D for the kernel's HBM chunk streaming: pad to a 1024
+    # multiple plus one extra LIST_CHUNK so the last aligned DMA window
+    # never reads past the array (pad entries sit beyond every offset).
+    pad_p = (-sorted_tri.shape[0]) % 1024 + LIST_CHUNK
+    sorted_tri = jnp.concatenate(
+        [sorted_tri, jnp.zeros(pad_p, jnp.int32)]
+    )
 
     # Hierarchy over the leftovers: empty the listed rows' bboxes so the
     # block/superblock tables skip them.
@@ -1800,14 +1811,15 @@ def prepare_binned_inputs(tri_i32, tri_f32, width: int, height: int,
     # The kernel reads `hier` (listed rows' bboxes emptied) so the phase-2
     # per-triangle bbox test skips everything the lists own; the edge /
     # interpolation columns are untouched, so the list loop shares it.
-    return offsets, sorted_tri[:, None], supers, blocks, hier, tri_f32
+    return offsets, sorted_tri, supers, blocks, hier, tri_f32
 
 
 def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
                  gbuf_refs=None, gbuf_scratch=None,
                  const_refs=None, const_scratch=None,
-                 depth_only=False, local_lists=False):
+                 depth_only=False, local_lists=False,
+                 list_smem=None, list_sem=None):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1897,6 +1909,7 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
     #   instead of the whole (tiles*n_head, 1) array, whose 1->128 lane
     #   padding would otherwise need tens of MB of VMEM.
     tile_lin = tile_i * tiles_x + tile_j
+    tu = _tri_unroll()
     if local_lists:
         start = 0
         end = offs_ref[tile_lin]
@@ -1904,23 +1917,60 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
         start = offs_ref[tile_lin]
         end = offs_ref[tile_lin + 1]
 
-    def list_body(k, carry):
-        eval_triangle(list_ref[k, 0])
-        return carry
+    if list_smem is None:
+        # Lists resident in VMEM (local_lists per-tile blocks).
+        def list_body(k, carry):
+            eval_triangle(list_ref[k, 0])
+            return carry
 
-    # Unrolled main span + scalar tail (see TRI_UNROLL): whole K-groups
-    # first, then the < K remainder one at a time.
-    n = end - start
-    tu = _tri_unroll()
+        # Unrolled main span + scalar tail (see TRI_UNROLL): whole
+        # K-groups first, then the < K remainder one at a time.
+        n = end - start
 
-    def list_unrolled(q, c2):
-        base = start + q * tu
-        for u in range(tu):
-            list_body(base + u, 0)
-        return c2
+        def list_unrolled(q, c2):
+            base = start + q * tu
+            for u in range(tu):
+                list_body(base + u, 0)
+            return c2
 
-    jax.lax.fori_loop(0, n // tu, list_unrolled, 0)
-    jax.lax.fori_loop(start + (n // tu) * tu, end, list_body, 0)
+        jax.lax.fori_loop(0, n // tu, list_unrolled, 0)
+        jax.lax.fori_loop(start + (n // tu) * tu, end, list_body, 0)
+    else:
+        # Lists stream from HBM: list_ref is the flat 1-D pair array
+        # (1024-multiple length; whole-array VMEM residency would
+        # lane-pad (P, 1) by 128x — 533 MB at the 1M-pair budget).  A
+        # tile's span is CONTIGUOUS (pairs sorted by tile), so it DMAs
+        # in LIST_CHUNK slices at 1024-aligned bases into SMEM (scalar
+        # reads from SMEM have no lane restrictions), ~8 KB per chunk
+        # amortized over up to 2048 triangle evaluations.
+        def chunk_step(done):
+            base = (done // 1024) * 1024
+            cp = pltpu.make_async_copy(
+                list_ref.at[pl.ds(base, LIST_CHUNK)], list_smem, list_sem
+            )
+            cp.start()
+            cp.wait()
+            lo = done - base
+            hi = jnp.minimum(end - base, LIST_CHUNK)
+
+            def body(k, c):
+                eval_triangle(list_smem[k])
+                return c
+
+            def unrolled(q, c2):
+                b2 = lo + q * tu
+                for u in range(tu):
+                    body(b2 + u, 0)
+                return c2
+
+            n2 = hi - lo
+            jax.lax.fori_loop(0, n2 // tu, unrolled, 0)
+            jax.lax.fori_loop(lo + (n2 // tu) * tu, hi, body, 0)
+            return base + hi
+
+        jax.lax.while_loop(
+            lambda done: done < end, chunk_step, start
+        )
 
     # Phase 2: leftovers (clipped fans, window-exceeding triangles) through
     # the block/superblock hierarchy.
@@ -2008,10 +2058,11 @@ def _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
 
 def _binned_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                    color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
-                   local_lists=False):
+                   list_smem=None, list_sem=None, local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
-                 local_lists=local_lists)
+                 local_lists=local_lists,
+                 list_smem=list_smem, list_sem=list_sem)
 
 
 def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
@@ -2021,6 +2072,7 @@ def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
                            tex_ref, zbuf, tidbuf, nr, ng, nb, den,
                            nu, nv, nnx, nny, nnz,
                            smet, srgh, semr, semg, semb, stex,
+                           list_smem=None, list_sem=None,
                            local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  color_ref, depth_ref, zbuf, tidbuf, nr, ng, nb, den,
@@ -2029,14 +2081,17 @@ def _binned_gbuffer_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
                  const_refs=(met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
                              tex_ref),
                  const_scratch=(smet, srgh, semr, semg, semb, stex),
-                 local_lists=local_lists)
+                 local_lists=local_lists,
+                 list_smem=list_smem, list_sem=list_sem)
 
 
 def _binned_depth_kernel(offs_ref, sup_ref, blk_ref, list_ref, ti_ref,
-                         tf_ref, depth_ref, zbuf, local_lists=False):
+                         tf_ref, depth_ref, zbuf,
+                         list_smem=None, list_sem=None, local_lists=False):
     _binned_body(offs_ref, sup_ref, blk_ref, list_ref, ti_ref, tf_ref,
                  None, depth_ref, zbuf, None, None, None, None, None,
-                 depth_only=True, local_lists=local_lists)
+                 depth_only=True, local_lists=local_lists,
+                 list_smem=list_smem, list_sem=list_sem)
 
 
 def _binned_grid_spec(grid, num_outs, extra_scratch):
@@ -2048,12 +2103,15 @@ def _binned_grid_spec(grid, num_outs, extra_scratch):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pair_tri list
+            pl.BlockSpec(memory_space=pl.ANY),  # flat pair list (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ti (full rows)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tf
         ],
         out_specs=[tile_spec] * num_outs,
-        scratch_shapes=extra_scratch,
+        scratch_shapes=extra_scratch + [
+            pltpu.SMEM((LIST_CHUNK,), jnp.int32),  # list chunk
+            pltpu.SemaphoreType.DMA,
+        ],
     )
 
 
