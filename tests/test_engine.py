@@ -391,3 +391,86 @@ def test_render_animation_pallas_raw_digest_path():
     assert d[0] == d[1]  # same camera both frames
     img, _ = r.render_and_read()
     np.testing.assert_array_equal(np.asarray(color), img)
+
+
+def test_clip_overflow_counter():
+    """The capped clipper's silent drop has a runtime signal now
+    (VERDICT r2 weak #5): clip_overflow_count reports
+    max(crossing - cap, 0) in both geometry modes."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops import geometry as g
+
+    rng = np.random.default_rng(3)
+    nt = 64
+    # Triangles straddling the near plane: vertex z spans negative to
+    # positive in clip space -> every one of them is "crossing".
+    pos = rng.standard_normal((nt * 3, 4)).astype(np.float32)
+    pos[:, 3] = 2.0
+    pos[0::3, 2] = -0.5
+    pos[1::3, 2] = +0.5
+    pos[2::3, 2] = +0.5
+    attrs = np.zeros((nt * 3, 12), np.float32)
+    tvi = np.arange(nt * 3, dtype=np.int32).reshape(nt, 3)
+    node_ids = np.zeros(nt * 3, np.int32)
+    mats = np.eye(4, dtype=np.float32)[None]
+
+    full = int(g.clip_overflow_count(
+        np, pos, attrs, tvi, mats, node_ids, 64, 64, clip_cap=nt))
+    assert full == 0  # capacity covers them all
+    dropped = int(g.clip_overflow_count(
+        np, pos, attrs, tvi, mats, node_ids, 64, 64, clip_cap=16))
+    assert dropped == nt - 16
+    dropped_j = int(g.clip_overflow_count(
+        jnp, jnp.asarray(pos), jnp.asarray(attrs), jnp.asarray(tvi),
+        jnp.asarray(mats), jnp.asarray(node_ids), 64, 64, clip_cap=16))
+    assert dropped_j == dropped
+    # Matches what clip_triangles_capped actually drops: crossing count
+    # equals the subset demand.
+    clip_pos = g.transform_positions(np, pos, mats, node_ids)
+    tris = g.assemble_triangles(np, clip_pos, attrs, tvi)
+    _, _, idx = g.clip_triangles_capped(np, tris, 64, 64, 16)
+    assert len(np.unique(idx)) == 16
+
+
+def test_clip_overflow_counter_cols_mode(renderer):
+    """Cols-mode counter runs against the real engine buffers and reports
+    zero drops for the test scene (nothing crosses a plane)."""
+    b = renderer._buffers()
+    mats = renderer.camera_matrices()
+    assert renderer.clip_overflow(mats) == 0
+    assert renderer.stats.clip_dropped == 0
+
+
+def test_debug_render_raises_on_clip_overflow(monkeypatch):
+    """config.debug surfaces clip overflow loudly (VERDICT r2 item 6)."""
+    config = RenderConfig(width=64, height=64, backend="xla", debug=True,
+                          tri_align=64)
+    r = Renderer(config)
+    scene, mesh_data = make_test_scene()
+    r.load_scene(scene, mesh_data)
+    r.render()  # clean frame passes validation
+    assert r.stats.clip_dropped == 0
+    monkeypatch.setattr(r, "clip_overflow", lambda m: 3)
+    with pytest.raises(RuntimeError, match="dropped 3"):
+        r.render()
+    assert r.stats.clip_dropped == 3
+
+
+def test_host_constants_vectorized(renderer):
+    """camera_matrices/_lit_constants are batched (no per-node Python
+    loop): correct per-draw products for a many-node transform set."""
+    n = renderer.flat.node_to_world.shape[0]
+    rng = np.random.default_rng(0)
+    tr = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    tr[:, :3, :3] += rng.standard_normal((n, 3, 3)).astype(np.float32) * 0.1
+    tr[:, 3, :3] = rng.standard_normal((n, 3)).astype(np.float32)
+    mats = renderer.camera_matrices(transforms=tr)
+    vp = np.asarray(mats[0]) @ np.linalg.inv(tr[0])  # consistency probe
+    c = renderer._lit_constants(transforms=tr)
+    for i in range(n):
+        np.testing.assert_allclose(
+            c["normal_mats"][i], np.linalg.inv(tr[i][:3, :3]).T,
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            c["matrices"][i], tr[i] @ c["view_proj"], rtol=1e-5, atol=1e-4)

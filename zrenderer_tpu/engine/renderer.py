@@ -385,24 +385,36 @@ class Renderer:
         node_to_world = self.flat.node_to_world
         if transforms is not None:
             node_to_world = np.asarray(transforms, np.float32)
-        out = np.empty_like(node_to_world)
-        for i in range(len(node_to_world)):
-            out[i] = node_to_world[i] @ vp
-        return out.astype(np.float32)
+        # One batched matmul for all draws: a per-node Python loop costs
+        # milliseconds of GIL time per frame at 10k draws
+        # (benchmarks/host_constants.py).
+        return np.einsum("nij,jk->nik", node_to_world, vp).astype(np.float32)
 
-    def _lit_constants(self, camera=None, transforms=None) -> dict:
+    def _lit_constants(self, camera=None, transforms=None,
+                       jitter=None) -> dict:
         """Extended per-frame constants for the lit pipelines: normal
         matrices (inverse-transpose rotations), inverse view-proj for
-        world-position reconstruction, camera position, lights."""
+        world-position reconstruction, camera position, lights.
+        ``jitter``: optional (jx, jy) sub-pixel TAA offset — applied to the
+        camera view-proj (and therefore its inverse, so world-position
+        reconstruction stays consistent with the jittered raster); the
+        light's view-proj is camera-independent and stays unjittered."""
         camera = camera if camera is not None else self.scene.active_camera
         vp = g.view_proj_from_camera(camera, self.config.width, self.config.height)
+        if jitter is not None:
+            from zrenderer_tpu.ops.taa import jittered_view_proj
+
+            vp = jittered_view_proj(
+                vp, jitter, self.config.width, self.config.height
+            )
         node_to_world = self.flat.node_to_world
         if transforms is not None:
             node_to_world = np.asarray(transforms, np.float32)
         matrices = np.einsum("nij,jk->nik", node_to_world, vp).astype(np.float32)
-        normal_mats = np.stack(
-            [np.linalg.inv(m[:3, :3]).T for m in node_to_world]
-        ).astype(np.float32)
+        # Batched inverse (one LAPACK call) instead of a per-node loop.
+        normal_mats = np.linalg.inv(
+            node_to_world[:, :3, :3]
+        ).transpose(0, 2, 1).astype(np.float32)
         return {
             "matrices": matrices,
             "normal_mats": normal_mats,
@@ -437,7 +449,7 @@ class Renderer:
                 (matrices,) = self._stage_constants([matrices])
                 color, depth = frame(*self._geom_args(b), matrices)
             else:
-                c = self._lit_constants(camera, transforms)
+                c = self._lit_constants(camera, transforms, jitter)
                 staged = self._stage_constants(
                     [c["matrices"], c["normal_mats"], c["inv_view_proj"]]
                 )
@@ -471,6 +483,15 @@ class Renderer:
                     raise ValueError(pipeline)
             if self.config.debug:
                 self._validate_frame(color, depth)
+                mats = matrices if pipeline == "flat" else c["matrices"]
+                dropped = self.clip_overflow(mats)
+                self.stats.clip_dropped = dropped
+                if dropped:
+                    raise RuntimeError(
+                        f"debug validation: capped clipper dropped {dropped} "
+                        "plane-crossing triangles this frame (raise the "
+                        "clip cap; see geometry.clip_cap_for)"
+                    )
             self._pending = (color, depth)
             self._in_flight.append(self._pending)
             self.stats.update(
@@ -482,6 +503,29 @@ class Renderer:
         # are a thread-local stack — interleaving drops them).
         ztracy.frame_mark()
         return color, depth
+
+    def clip_overflow(self, matrices) -> int:
+        """Triangles dropped by the capped clipper for these per-draw
+        matrices (camera pass).  Device-computed via a cached jitted
+        transform+classify pass (geometry.clip_overflow_count) — run per
+        frame under config.debug, or on demand; surfaces the capped
+        clipper's silent-drop knob (clip_triangles_capped docstring)."""
+        key = ("clip_overflow", self.backend, self.config.content_hash(),
+               len(self.flat.tri_vidx), self._vertex_shader_key)
+        cfg = self.config
+        vs = self._vertex_shader
+
+        def build():
+            def count(positions, attrs, tri_vidx, node_ids, mats):
+                return g.clip_overflow_count(
+                    jnp, positions, attrs, tri_vidx, mats, node_ids,
+                    cfg.width, cfg.height, vertex_shader=vs,
+                )
+
+            return jax.jit(count)
+
+        fn = self.pipelines.get_or_create(key, build)
+        return int(fn(*self._geom_args(self._buffers()), matrices))
 
     def _validate_frame(self, color, depth) -> None:
         """Debug-layer analog (SURVEY.md §5.2): with config.debug the frame
@@ -576,8 +620,8 @@ class Renderer:
         self._in_flight.clear()
         return out
 
-    def render_and_read(self, camera=None, transforms=None):
-        self.render(camera, transforms)
+    def render_and_read(self, camera=None, transforms=None, jitter=None):
+        self.render(camera, transforms, jitter)
         return self.read_frame()
 
     def set_vertex_shader(self, fn, name: str | None = None) -> None:
@@ -719,8 +763,8 @@ class Renderer:
                     "view_proj"]
             per = []
             for i in range(num_frames):
-                cam, tr, _ = per_frame(i)
-                c = self._lit_constants(cam, tr)
+                cam, tr, jit_ = per_frame(i)
+                c = self._lit_constants(cam, tr, jit_)
                 if pipeline == "shadowed":
                     light_vp = self._light_view_proj(
                         None if tr is None else c["node_to_world"])
