@@ -101,3 +101,95 @@ def main():
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _body_band_aligned(k, acc, buf, params):
+    a = params[k % 64, 0]
+    rb = (k % 4) * BAND_H  # ALIGNED dynamic offset (8-row multiple)
+    x = buf[pl.ds(rb, BAND_H), :]
+    buf[pl.ds(rb, BAND_H), :] = jnp.where(
+        x < jnp.float32(a), x + jnp.float32(1.0), x)
+    return acc
+
+
+def _body_band16_aligned(k, acc, buf, params):
+    a = params[k % 64, 0]
+    rb = (k % 3) * BAND_H  # aligned 16-row window at 8-row step
+    x = buf[pl.ds(rb, 16), :]
+    buf[pl.ds(rb, 16), :] = jnp.where(
+        x < jnp.float32(a), x + jnp.float32(1.0), x)
+    return acc
+
+
+def _body_band_static(k, acc, buf, params):
+    a = params[k % 64, 0]
+    x = buf[0:BAND_H, :]  # STATIC offset — the compiler-friendly bound
+    buf[0:BAND_H, :] = jnp.where(
+        x < jnp.float32(a), x + jnp.float32(1.0), x)
+    return acc
+
+
+def main2():
+    params = jnp.arange(64, dtype=jnp.float32).reshape(64, 1) * 100
+    params = jnp.pad(params, ((0, 0), (0, 127)))
+    for name, body in (
+        ("full32", _body_full), ("band8-unaligned", _body_band),
+        ("band8-aligned", _body_band_aligned),
+        ("band16-aligned", _body_band16_aligned),
+        ("band8-static", _body_band_static),
+    ):
+        for ops in (16,):
+            run = _make(body, ops)
+            try:
+                t, out = timeit(run, params)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} x{ops}: FAILED {type(e).__name__}: {e}")
+                continue
+            per = t / (N_VISITS * ops) * 1e9
+            print(f"{name} x{ops}: {t*1e6:8.1f} us total, "
+                  f"{per:6.2f} ns/op  sum={float(out.sum()):.0f}")
+    return 0
+
+
+def main3():
+    """Independent-chain test: K parallel accumulator buffers, ops rotate
+    across them.  If per-op cost drops with K, the serial-RMW chain is
+    LATENCY-bound and slot-parallel accumulators in the raster body pay."""
+    params = jnp.arange(64, dtype=jnp.float32).reshape(64, 1) * 100
+    params = jnp.pad(params, ((0, 0), (0, 127)))
+    for nbuf in (1, 2, 4, 8):
+        def kernel(params_ref, out_ref, *bufs):
+            for b in bufs:
+                b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+            def step(k, acc):
+                a = params_ref[k % 64, 0]
+                for j in range(16):
+                    b = bufs[j % nbuf]
+                    x = b[...]
+                    b[...] = jnp.where(
+                        x < jnp.float32(a), x + jnp.float32(1.0), x)
+                return acc
+
+            jax.lax.fori_loop(0, N_VISITS, step, 0)
+            out_ref[...] = bufs[0][...]
+
+        @jax.jit
+        def run(params):
+            return pl.pallas_call(
+                kernel,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((TILE_H, TILE_W), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                    for _ in range(nbuf)
+                ],
+            )(params)
+
+        t, out = timeit(run, params)
+        per = t / (N_VISITS * 16) * 1e9
+        print(f"nbuf={nbuf}: {t*1e6:8.1f} us, {per:6.2f} ns/op "
+              f"sum={float(out.sum()):.0f}")
+    return 0

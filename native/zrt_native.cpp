@@ -501,7 +501,71 @@ uint32_t zrt_simplify(const uint32_t* indices, uint32_t n_idx,
     return out;
 }
 
+// Vertex-fetch optimization (the vfetchoptimizer capability,
+// common/build.zig:49-52): reorder VERTICES into first-use order of the
+// (already cache-optimized) index buffer so the GPU/DMA vertex fetch
+// walks memory near-sequentially, and remap indices accordingly.  Unused
+// vertices are dropped.  Returns the new vertex count.
+uint32_t zrt_optimize_vertex_fetch(const float* vertices_in,
+                                   float* vertices_out,
+                                   uint32_t* indices, uint32_t index_count,
+                                   uint32_t vertex_count,
+                                   uint32_t floats_per_vertex) {
+    const uint32_t kUnused = 0xFFFFFFFFu;
+    std::vector<uint32_t> remap(vertex_count, kUnused);
+    uint32_t next = 0;
+    for (uint32_t i = 0; i < index_count; i++) {
+        uint32_t v = indices[i];
+        if (v >= vertex_count) continue;  // defensive: skip corrupt index
+        if (remap[v] == kUnused) {
+            remap[v] = next++;
+            std::memcpy(vertices_out + (uint64_t)remap[v] * floats_per_vertex,
+                        vertices_in + (uint64_t)v * floats_per_vertex,
+                        sizeof(float) * floats_per_vertex);
+        }
+        indices[i] = remap[v];
+    }
+    return next;
+}
+
+// Vertex-fetch analyzer (the vfetchanalyzer capability): bytes fetched
+// through a 64-byte-line, 16-line FIFO cache while walking the index
+// buffer, as permille of the ideal (each used vertex fetched once).
+// Lower is better; 1000 = perfect locality.
+uint32_t zrt_analyze_vertex_fetch(const uint32_t* indices,
+                                  uint32_t index_count,
+                                  uint32_t vertex_count,
+                                  uint32_t bytes_per_vertex) {
+    const uint64_t kLine = 64;
+    const int kLines = 16;
+    uint64_t lines[kLines];
+    int head = 0, filled = 0;
+    uint64_t fetched = 0;
+    std::vector<uint8_t> used(vertex_count, 0);
+    uint64_t unique = 0;
+    for (uint32_t i = 0; i < index_count; i++) {
+        uint32_t v = indices[i];
+        if (v >= vertex_count) continue;
+        if (!used[v]) { used[v] = 1; unique++; }
+        uint64_t b0 = (uint64_t)v * bytes_per_vertex;
+        uint64_t b1 = b0 + bytes_per_vertex - 1;
+        for (uint64_t line = b0 / kLine; line <= b1 / kLine; line++) {
+            bool hit = false;
+            for (int k = 0; k < filled; k++)
+                if (lines[k] == line) { hit = true; break; }
+            if (!hit) {
+                fetched += kLine;
+                lines[head] = line;
+                head = (head + 1) % kLines;
+                if (filled < kLines) filled++;
+            }
+        }
+    }
+    uint64_t ideal = unique * (uint64_t)bytes_per_vertex;
+    return ideal ? (uint32_t)(fetched * 1000 / ideal) : 0;
+}
+
 // Library version/sanity probe.
-uint32_t zrt_version() { return 11; }
+uint32_t zrt_version() { return 12; }
 
 }  // extern "C"

@@ -62,3 +62,53 @@ def test_golden_lod_selection():
     # Requesting a LOD beyond the mesh's count clamps to the last one.
     clamped = flatten_scene(sc, md, pad=False, lod=7)
     assert clamped.num_triangles == 1
+
+
+def test_showcase_lit_golden():
+    """Textured multi-material showcase (content/scenes/showcase, authored
+    by tools/make_showcase.py): drives the TEXS table -> TextureArray ->
+    per-draw texture layers end-to-end through the LIT pipeline and pins
+    the output (VERDICT r3 item 10 — the shipped test_scene has no
+    textures, so this path was previously exercised only synthetically)."""
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+    from zrenderer_tpu.engine.textures import textures_from_mesh_data
+    from zrenderer_tpu.scene.mesh import MeshData
+    from zrenderer_tpu.scene.scene import Scene
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene_dir = os.path.join(here, "content", "scenes", "showcase")
+    scene = Scene.load(os.path.join(scene_dir, "scene.bin"))
+    mesh_data = MeshData.load(os.path.join(scene_dir, "meshes.bin"))
+
+    # The TEXS table carries two real texture uris; materials bind them
+    # per-draw (and the third material has none -> white fallback layer).
+    textures, mat_tex = textures_from_mesh_data(mesh_data, scene_dir)
+    assert textures is not None and len(textures) == 2
+    assert sorted(mesh_data.texture_uris) == ["checker.png", "gradient.png"]
+    assert len(set(mat_tex)) >= 2 and -1 in mat_tex
+
+    config = RenderConfig(width=160, height=120, backend="xla",
+                          pipeline="lit", tri_align=64)
+    r = Renderer(config)
+    r.load_scene(scene, mesh_data)
+    r.set_environment(textures=textures, material_textures=mat_tex)
+    img, depth = r.render_and_read()
+
+    assert (np.asarray(depth) < 1.0).mean() > 0.15  # real coverage
+    # Textures actually sampled: every channel varies across the frame.
+    assert (np.asarray(img[..., :3]).std(axis=(0, 1)) > 5).all()
+
+    digest = hashlib.sha256(np.asarray(img).tobytes()).hexdigest()
+    path = os.path.join(GOLDEN_DIR, "showcase_lit_160x120.sha256")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(digest + "\n")
+        pytest.skip("golden created; rerun to verify")
+    with open(path) as f:
+        expected = f.read().strip()
+    assert digest == expected, (
+        "showcase lit render changed — if intentional, delete "
+        "tests/goldens/showcase_lit_160x120.sha256 and rerun"
+    )

@@ -476,3 +476,127 @@ def test_small_bins_auto_dispatch_bounds():
     assert not rp._use_small_bins("auto", big_rows)
     assert not rp._use_small_bins("hierarchy", small_rows)
     assert rp._use_small_bins("small", big_rows)  # explicit (prep asserts)
+
+
+def test_hbm2_two_class_matches_oracle_demo_scene():
+    """The two-class windowed HBM kernel on the demo scene (all-tall
+    class: cube faces span many rows) — oracle parity, interpret mode."""
+    W, H = 128, 32
+    scene, mesh_data = make_test_scene()
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=16)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, W, H)
+    u8_cpu = raster_cpu.pack_u8(img_cpu)
+
+    color, depth = rp.rasterize_setup_pallas_hbm2(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    u8_pl = np.asarray(rp.unpack_rgba8(color))
+    depth_pl = np.asarray(depth)
+    assert (depth_pl < 1.0).mean() > 0.1
+    # Oracle tolerance matches the hbm1 contract (interpret-mode FMA
+    # contraction differs sub-LSB from the NumPy oracle; hardware runs
+    # are 0-LSB, bench.py --verify).
+    np.testing.assert_array_equal(depth_pl < 1.0, depth_cpu < 1.0)
+    np.testing.assert_allclose(depth_pl, depth_cpu, atol=1e-6)
+    assert np.abs(u8_pl.astype(np.int32) - u8_cpu.astype(np.int32)).max() <= 1
+    # Cross-kernel contract IS bit-exact: same arithmetic as hbm1.
+    color_1, depth_1 = rp.rasterize_setup_pallas_hbm(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True,
+        compact=False,
+    )
+    np.testing.assert_array_equal(depth_pl, np.asarray(depth_1))
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(color_1))
+
+
+def test_hbm2_two_class_matches_hbm1_stress_mix():
+    """Short/tall mixed scene (tiny lattice cubes at low res: bbox spans
+    straddle the 8-row class boundary): the two-class kernel is
+    bit-identical to the single-class HBM kernel and the oracle."""
+    from zrenderer_tpu.scene.procedural import make_stress_scene
+
+    W, H = 256, 64
+    scene, mesh_data = make_stress_scene(1536)
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum("nij,jk->nik", flat.node_to_world, vp).astype(np.float32)
+    ti, tf = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx, matrices,
+        flat.vert_node, W, H,
+    )
+    # The class split must be non-trivial for this fixture to test the
+    # boundary (otherwise it degenerates to one of the single-class cases).
+    short = np.asarray(rp._classify_short(np, ti))
+    alive = ti[:, g.I_VALID] > 0
+    assert short.sum() > 0 and (alive & ~short).sum() > 0
+
+    color_1, depth_1 = rp.rasterize_setup_pallas_hbm(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True,
+        compact=False,
+    )
+    color_2, depth_2 = rp.rasterize_setup_pallas_hbm2(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    assert (np.asarray(depth_1) < 1.0).mean() > 0.05
+    np.testing.assert_array_equal(np.asarray(depth_2), np.asarray(depth_1))
+    np.testing.assert_array_equal(np.asarray(color_2), np.asarray(color_1))
+
+
+def test_hbm2_cross_class_exact_z_tie_breaks_by_id():
+    """Constructed exact depth tie between a SHORT and a TALL triangle
+    (za columns zeroed -> z == 0 on every covered pixel): the two-pass
+    kernel must break the tie by triangle id (== submission order), i.e.
+    match the sequential oracle no matter which pass ran first."""
+    W, H = 128, 32
+    # Hand-built geometry: a TALL triangle A (rows ~3..28) and a SHORT
+    # triangle B (~3 rows) inside A's footprint, submitted after A.  With
+    # an identity matrix, positions are clip coordinates directly.
+    positions = np.array([
+        [-0.8, -0.8, 0.5, 1.0],
+        [0.8, -0.8, 0.5, 1.0],
+        [0.0, 0.8, 0.5, 1.0],
+        [-0.2, -0.1, 0.3, 1.0],
+        [0.2, -0.1, 0.3, 1.0],
+        [0.0, 0.1, 0.3, 1.0],
+    ], np.float32)
+    attrs = np.zeros((6, 12), np.float32)
+    attrs[:3, 0:3] = [1.0, 0.0, 0.0]  # A red
+    attrs[3:, 0:3] = [0.0, 1.0, 0.0]  # B green
+    tri_vidx = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    node_ids = np.zeros(6, np.int32)
+    matrices = np.eye(4, dtype=np.float32)[None]
+    ti, tf = g.geometry_pipeline(
+        np, positions, attrs, tri_vidx, matrices, node_ids, W, H,
+    )
+    ti = np.array(ti)
+    tf = np.array(tf)
+    alive = np.flatnonzero(ti[:, g.I_VALID] > 0)
+    assert len(alive) == 2
+    a, b = int(alive[0]), int(alive[1])
+    short = np.asarray(rp._classify_short(np, ti))
+    assert not short[a] and short[b]
+    # Give both triangles identical (zero) depth everywhere: an exact
+    # cross-class z tie on every overlapped pixel.
+    for col in (g.F_ZA0, g.F_ZA1, g.F_ZA2):
+        tf[a, col] = 0.0
+        tf[b, col] = 0.0
+
+    # hbm1 loops rows sequentially (strict-less == lowest-id tie winner,
+    # the oracle rule) with identical kernel arithmetic — the bit-exact
+    # comparator for the two-pass id tie-break.
+    color_1, depth_1 = rp.rasterize_setup_pallas_hbm(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True,
+        compact=False,
+    )
+    color, depth = rp.rasterize_setup_pallas_hbm2(
+        jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
+    )
+    # Both triangles rendered somewhere at the tied depth 0.0.
+    assert (np.asarray(depth) == 0.0).sum() > 0
+    np.testing.assert_array_equal(np.asarray(depth), np.asarray(depth_1))
+    np.testing.assert_array_equal(np.asarray(color), np.asarray(color_1))

@@ -209,6 +209,10 @@ def _extract_primitive(gltf: Gltf, primitive: dict, mesh_data: MeshData,
         verts, indices = native.apply_remap(verts, remap, unique, indices)
         indices = native.optimize_vertex_cache(indices, unique)
         indices = native.spatial_sort_triangles(indices, verts)
+        # Last: vertex-fetch reorder (vertices into first-use order of the
+        # final triangle order) — completes the meshoptimizer compiled set
+        # (indexgenerator/vcache/spatialorder/vfetch).
+        verts, indices, _ = native.optimize_vertex_fetch(verts, indices)
     if lods <= 1:
         return mesh_data.append_mesh(verts, indices)
 
@@ -433,6 +437,24 @@ def main(argv=None) -> int:
         )
         mesh_data.save(os.path.join(args.output, "meshes.bin"))
         scene.save(os.path.join(args.output, "scene.bin"))
+        # Texture capture: copy TEXS-referenced images next to the bins so
+        # the output folder is a self-contained runtime scene (the runtime
+        # resolves uris relative to the scene folder,
+        # engine/textures.py:textures_from_mesh_data).
+        src_dir = os.path.dirname(os.path.abspath(args.scene_file))
+        for uri in mesh_data.texture_uris:
+            src = os.path.join(src_dir, uri)
+            dst = os.path.join(args.output, uri)
+            if os.path.abspath(src) == os.path.abspath(dst):
+                continue
+            if not os.path.exists(src):
+                log.warning("texture %s referenced but missing; skipped", src)
+                continue
+            os.makedirs(os.path.dirname(dst) or args.output, exist_ok=True)
+            import shutil
+
+            shutil.copyfile(src, dst)
+            log.info("Captured texture %s", uri)
     log.info("Wrote output to %s", args.output)
     return 0
 

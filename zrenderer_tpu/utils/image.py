@@ -7,11 +7,16 @@ host-side equivalent: ``read_image`` sniffs the container and decodes to an
 imaging dependency):
 
 * PNG   — utils/png.py (filters 0-4, 8-bit, via the native zlib path)
-* JPEG  — utils/jpeg.py (baseline sequential DCT, 4:4:4/4:2:2/4:2:0,
+* JPEG  — utils/jpeg.py (baseline + PROGRESSIVE DCT, 4:4:4/4:2:2/4:2:0,
           restart markers; vectorized batch IDCT)
+* GIF   — utils/gif.py (87a/89a, LZW, interlace, transparency; frame 0)
+* HDR   — utils/hdr.py (Radiance RGBE, RLE scanlines -> float32 RGBA)
 * BMP   — uncompressed BI_RGB 24/32-bit, bottom-up and top-down
 * TGA   — type 2/10 (uncompressed / RLE true-color), 24/32-bit
 * PNM   — P5 (grayscale) / P6 (RGB), maxval 255
+
+All decoders return (h, w, 4) uint8 RGBA except HDR, which returns
+(h, w, 4) float32 linear radiance (the stbi_loadf analog).
 """
 
 from __future__ import annotations
@@ -34,6 +39,14 @@ def read_image(path) -> np.ndarray:
         from zrenderer_tpu.utils.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from zrenderer_tpu.utils.gif import decode_gif
+
+        return decode_gif(data)
+    if data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE"):
+        from zrenderer_tpu.utils.hdr import decode_hdr
+
+        return decode_hdr(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
