@@ -52,8 +52,8 @@ def test_lit_pipeline_composes_with_jitter():
     moved, _ = r.render_and_read(jitter=(0.49, 0.37))
     assert (moved != base).any()
     # And the resolve accepts the jittered lit frames (burn-in step).
-    hist = base[..., :3].astype(np.float32) / 255.0
-    hist, resolved = taa.taa_resolve(jnp.asarray(hist), jnp.asarray(moved))
+    hist = taa.taa_init_history(jnp.asarray(base))
+    hist, resolved = taa.taa_resolve(hist, jnp.asarray(moved))
     assert resolved.shape == base.shape
 
 
@@ -62,17 +62,18 @@ def test_taa_converges_and_clamps():
     h, w = 16, 32
     stable = rng.integers(0, 255, (h, w, 4), dtype=np.uint8)
     stable[..., 3] = 255
-    history = stable[..., :3].astype(np.float32) / 255.0
+    history = np.asarray(taa.taa_init_history(jnp.asarray(stable)))
 
-    # Feeding the same frame repeatedly is a fixed point.
+    # Feeding the same frame repeatedly is a fixed point (exactly, in the
+    # 16-bit fixed-point history representation).
     new_hist, resolved = taa.taa_resolve(jnp.asarray(history), jnp.asarray(stable))
-    np.testing.assert_allclose(np.asarray(new_hist), history, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(new_hist), history)
     np.testing.assert_array_equal(np.asarray(resolved), stable)
 
     # A disoccluded pixel (history wildly off) gets clamped to the current
     # neighborhood instead of ghosting.
     bad_hist = history.copy()
-    bad_hist[8, 16] = 25.0
+    bad_hist[8, 16] = 25 * taa.FIXED_MAX
     new_hist, _ = taa.taa_resolve(jnp.asarray(bad_hist), jnp.asarray(stable))
     nh = np.asarray(new_hist)
-    assert nh[8, 16].max() <= 1.0
+    assert nh[8, 16].max() <= taa.FIXED_MAX

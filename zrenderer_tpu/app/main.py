@@ -153,13 +153,11 @@ def main(argv=None) -> int:
                 jitter = taa_state["jitters"][frame_i % 8]
             renderer.render(jitter=jitter)
             if args.taa:
-                from zrenderer_tpu.ops.taa import taa_resolve
+                from zrenderer_tpu.ops.taa import taa_init_history, taa_resolve
 
                 color, depth_dev = renderer._pending
                 if taa_state["history"] is None:
-                    taa_state["history"] = (
-                        color[..., :3].astype("float32") / 255.0
-                    )
+                    taa_state["history"] = taa_init_history(color)
                 taa_state["history"], resolved = taa_resolve(
                     taa_state["history"], color
                 )

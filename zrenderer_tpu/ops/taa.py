@@ -65,19 +65,44 @@ def _neighborhood_minmax(frame):
     return lo, hi
 
 
-def taa_resolve(history_f32, current_u8, alpha: float = 0.1):
+# History is a 16-bit fixed-point render target: u8 channel x maps to
+# x * 257 in [0, 65535] (the exact 8->16 bit replication, 255 -> 65535).
+# Why fixed point and not f32 [0, 1]: the blend `h*(1-a) + c*a` is an
+# FMA-contraction candidate, and whether XLA/LLVM contracts it depends on
+# the surrounding fusion context — measured: the same frame resolved under
+# a band-sharded mesh differed from the single-device resolve by 1 LSB on
+# 2/32K pixels, and eager vs jitted execution differed on thousands of
+# history ulps (optimization_barrier does NOT stop the backend-level
+# contraction).  Integer multiply/add/shift round identically in every
+# compilation context, so the sharded config-4 composition is bit-exact by
+# construction (tests/test_config4.py) — and a quantized history target is
+# standard renderer practice (real engines resolve TAA into 10-16 bit
+# render targets, not f32).
+FIXED_MAX = 65535
+BLEND_DENOM = 64  # alpha quantized to x/64
+
+
+def taa_init_history(current_u8):
+    """First-frame history: the current frame in 16-bit fixed point."""
+    return current_u8[..., :3].astype(jnp.int32) * 257
+
+
+def taa_resolve(history_i32, current_u8, alpha: float = 0.1):
     """Blend the current frame into the history with neighborhood clamping.
 
-    history_f32: (H, W, 3) f32 accumulated color (pass current as history on
-    the first frame); current_u8: (H, W, 4) u8.  Returns (new_history_f32,
-    resolved_u8).
+    history_i32: (H, W, 3) i32 fixed-point accumulated color
+    (taa_init_history of the first frame); current_u8: (H, W, 4) u8.
+    Returns (new_history_i32, resolved_u8).  alpha is quantized to
+    round(alpha * 64)/64.
     """
-    cur = current_u8[..., :3].astype(jnp.float32) / jnp.float32(255.0)
+    w = int(round(alpha * BLEND_DENOM))
+    assert 0 < w <= BLEND_DENOM, "alpha must quantize into (0, 1]"
+    cur = current_u8[..., :3].astype(jnp.int32) * 257
     lo, hi = _neighborhood_minmax(cur)
-    clamped = jnp.clip(history_f32, lo, hi)
-    out = clamped * (1.0 - alpha) + cur * alpha
-    resolved = jnp.floor(
-        jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5
-    ).astype(jnp.uint8)
+    clamped = jnp.clip(history_i32, lo, hi)
+    # max operand: 65535 * 64 + 32 < 2^23 — exact in i32 with headroom.
+    out = (clamped * (BLEND_DENOM - w) + cur * w
+           + BLEND_DENOM // 2) >> (BLEND_DENOM.bit_length() - 1)
+    resolved = ((out + 128) // 257).astype(jnp.uint8)
     alpha_ch = jnp.full((*out.shape[:2], 1), 255, jnp.uint8)
     return out, jnp.concatenate([resolved, alpha_ch], axis=-1)

@@ -268,3 +268,51 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
         )
 
     return frame_fn, shard_inputs
+
+
+def make_sharded_taa_frame(mesh: Mesh, width: int, height: int,
+                           use_pallas=False, alpha: float = 0.1):
+    """BASELINE config 4 composed as ONE jitted step: geometry-sharded
+    triangle setup + band-sharded binned raster (make_sharded_frame) +
+    TAA resolve running directly on the band-sharded frame.
+
+    The TAA neighborhood clamp (ops/taa.py taa_resolve) reads the 3x3
+    pixel ring, so band-edge rows need their neighbours from the adjacent
+    chip: rather than hand-writing a ppermute halo exchange, the resolve
+    runs OUTSIDE shard_map on arrays constrained to the band sharding and
+    GSPMD partitions the shifted reads with its own halo collectives —
+    the idiomatic XLA split between explicit (shard_map raster, where
+    per-device control flow matters) and compiler-managed (elementwise
+    resolve) parallelism.  Bit-exact vs the single-device render +
+    taa_resolve composition (tests/test_sharding.py).
+
+    The per-frame sub-pixel jitter enters through ``matrices`` — the host
+    composes ops/taa.py jittered_view_proj into the node matrices exactly
+    as the single-device engine does (engine/renderer.py camera_matrices).
+
+    Returns (taa_frame, shard_inputs): taa_frame(positions, attrs,
+    tri_vidx, matrices, node_ids, history_i32) -> (resolved_u8, depth,
+    new_history_i32), history sharded P(tiles, None, None); pass
+    ops/taa.py ``taa_init_history(first_frame)`` as the first frame's
+    history (the taa_resolve contract, used by app/main.py the same way).
+    The history is 16-bit fixed point — integer blend math rounds
+    identically in every compilation context, which is what makes the
+    sharded resolve bit-equal to the single-device one (see ops/taa.py).
+    """
+    frame_fn, shard_inputs = make_sharded_frame(
+        mesh, width, height, use_pallas=use_pallas
+    )
+    from zrenderer_tpu.ops.taa import taa_resolve
+
+    band3 = NamedSharding(mesh, P(AXIS, None, None))
+
+    @jax.jit
+    def taa_frame(positions, attrs, tri_vidx, matrices, node_ids, history):
+        rgba, depth = frame_fn(positions, attrs, tri_vidx, matrices,
+                               node_ids)
+        new_hist, resolved = taa_resolve(history, rgba, alpha=alpha)
+        resolved = jax.lax.with_sharding_constraint(resolved, band3)
+        new_hist = jax.lax.with_sharding_constraint(new_hist, band3)
+        return resolved, depth, new_hist
+
+    return taa_frame, shard_inputs
