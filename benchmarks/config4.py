@@ -1,0 +1,95 @@
+"""BASELINE config 4 single-chip perf row: 1M-triangle dense lattice +
+TAA resolve at 1080p, rendered as one jitted step per frame with the
+history carried on device (the multi-chip semantics of the same
+composition are proven bit-exact in tests/test_config4.py).
+
+Honest methodology (docs/PERFORMANCE.md): frames run as a lax.scan over
+the per-frame jittered matrices with an optimization_barrier tying the
+carry to the inputs, one device dispatch, digest materialized.
+
+    python benchmarks/config4.py [num_triangles] [--frames N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    os.environ.setdefault("ZRENDERER_QUIET", "1")
+    tris = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 1_000_000
+    frames = 8
+    if "--frames" in sys.argv:
+        frames = int(sys.argv[sys.argv.index("--frames") + 1])
+
+    import jax
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.engine.upload import flatten_scene
+    from zrenderer_tpu.ops import geometry as g
+    from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops import taa
+    from zrenderer_tpu.scene.procedural import make_stress_scene
+
+    W, H = 1920, 1080
+    PW, PH = 1920, 1088  # tile-padded raster target
+    scene, mesh_data = make_stress_scene(tris)
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    jitters = taa.jitter_sequence(8)
+    mats = np.stack([
+        np.einsum("nij,jk->nik",
+                  flat.node_to_world, taa.jittered_view_proj(vp, j, W, H))
+        for j in (jitters[k % 8] for k in range(frames))
+    ]).astype(np.float32)
+    mats = jnp.asarray(mats)
+    pos = jnp.asarray(flat.positions)
+    attrs = jnp.asarray(flat.attrs)
+    tvi = jnp.asarray(flat.tri_vidx)
+    vnode = jnp.asarray(flat.vert_node)
+
+    def frame(m):
+        ti, tf = g.geometry_pipeline(jnp, pos, attrs, tvi, m, vnode, W, H)
+        color, depth = rp.rasterize_setup_pallas_hbm(
+            ti, tf, PW, PH, compact=False)
+        rgba = rp.unpack_rgba8(color[:H, :W])
+        return rgba, depth
+
+    @jax.jit
+    def run(ms):
+        def step(carry, m):
+            hist, acc = carry
+            hist2, m2 = jax.lax.optimization_barrier((hist, m))
+            rgba, depth = frame(m2)
+            hist3, resolved = taa.taa_resolve(hist2, rgba)
+            dig = (resolved[H // 2, W // 2].astype(jnp.float32).sum()
+                   + depth[H // 2, W // 2])
+            return (hist3, acc + dig), None
+        rgba0, _ = frame(ms[0])
+        hist0 = taa.taa_init_history(rgba0)
+        (hist, acc), _ = jax.lax.scan(step, (hist0, jnp.float32(0.0)), ms)
+        return acc
+
+    t0 = time.perf_counter()
+    out = np.asarray(run(mats))
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s "
+          f"(digest {float(out):.2f})", flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = np.asarray(run(mats))
+        best = min(best, (time.perf_counter() - t0) / frames)
+    print(f"config4 1M+TAA @1080p: {best*1e3:9.2f} ms/frame "
+          f"({1.0/best:.2f} FPS)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
