@@ -132,7 +132,12 @@ def prepare_scanline_inputs(tri_i32, tri_f32):
     # Wide table in submission order (pure elementwise — no gather).
     c = lambda k: ti_short[:, k]
     imin = c(g.I_IMIN)
-    h = c(g.I_IMAX) - imin  # killed rows: imax=0, imin=1 -> h = -1
+    # _kill_rows empties the horizontal bbox (jmin > jmax) but leaves the
+    # row span intact, so a killed tall row would carry h >= SHORT_ROWS
+    # and force every group containing one to run all 8 passes with the
+    # lane fully masked.  Zero the span for non-short rows instead so the
+    # per-group pass count reflects only live short work.
+    h = jnp.where(short, c(g.I_IMAX) - imin, -1)
     py0 = imin * g.SUBPIXEL + g.SUBPIXEL // 2
     half = g.SUBPIXEL // 2
     sub = g.SUBPIXEL
@@ -484,6 +489,9 @@ def rasterize_setup_pallas_scanline(tri_i32, tri_f32, width: int,
     """Scanline-grouped two-class raster (short scanline + tall scalar)."""
     assert TILE_H == GROUP, "scanline kernel requires 32-row tiles"
     assert height % TILE_H == 0 and width % TILE_W == 0
+    # The block-local row-sort key packs imin into 12 bits; a taller
+    # target would alias distinct rows and silently corrupt output.
+    assert height <= 4096, "scanline row-sort key packs imin into 12 bits"
     grid = (height // TILE_H, width // TILE_W)
     (supers_s, blocks8_s, wide_p, supers_t, blocks_t, tit_p,
      tf_p) = prepare_scanline_inputs(tri_i32, tri_f32)

@@ -8,8 +8,12 @@ Standard TAA structure, all fused XLA elementwise work:
 * the resolve blends the new frame into an exponential history buffer with
   3x3 neighborhood min/max clamping (the classic ghosting fix).
 
-The history buffer is a device-resident f32 framebuffer the engine carries
-between frames (the analog of a persistent render target).
+The history buffer is a device-resident (H, W, 3) i32 buffer of 16-bit
+fixed-point color (u8 * 257) the engine carries between frames (the
+analog of a persistent render target).  The blend is pure integer math
+with a 1/64-quantized alpha, which makes the resolve bit-identical in
+every compilation context — single device, shard_map bands, interpret
+mode — the property tests/test_config4.py relies on.
 """
 
 from __future__ import annotations
@@ -93,10 +97,15 @@ def taa_resolve(history_i32, current_u8, alpha: float = 0.1):
     history_i32: (H, W, 3) i32 fixed-point accumulated color
     (taa_init_history of the first frame); current_u8: (H, W, 4) u8.
     Returns (new_history_i32, resolved_u8).  alpha is quantized to
-    round(alpha * 64)/64.
+    round(alpha * 64)/64; the minimum representable alpha is 1/128
+    (anything smaller quantizes to 0 and raises).
     """
     w = int(round(alpha * BLEND_DENOM))
-    assert 0 < w <= BLEND_DENOM, "alpha must quantize into (0, 1]"
+    if not 0 < w <= BLEND_DENOM:
+        raise ValueError(
+            f"alpha={alpha} quantizes to {w}/{BLEND_DENOM}; it must "
+            f"round to a nonzero multiple of 1/{BLEND_DENOM} in (0, 1] "
+            f"(minimum alpha is 1/{2 * BLEND_DENOM})")
     cur = current_u8[..., :3].astype(jnp.int32) * 257
     lo, hi = _neighborhood_minmax(cur)
     clamped = jnp.clip(history_i32, lo, hi)

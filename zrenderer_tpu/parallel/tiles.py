@@ -284,7 +284,7 @@ def make_sharded_taa_frame(mesh: Mesh, width: int, height: int,
     the idiomatic XLA split between explicit (shard_map raster, where
     per-device control flow matters) and compiler-managed (elementwise
     resolve) parallelism.  Bit-exact vs the single-device render +
-    taa_resolve composition (tests/test_sharding.py).
+    taa_resolve composition (tests/test_config4.py).
 
     The per-frame sub-pixel jitter enters through ``matrices`` — the host
     composes ops/taa.py jittered_view_proj into the node matrices exactly
