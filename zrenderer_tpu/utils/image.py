@@ -11,6 +11,8 @@ imaging dependency):
           restart markers; vectorized batch IDCT)
 * GIF   — utils/gif.py (87a/89a, LZW, interlace, transparency; frame 0)
 * HDR   — utils/hdr.py (Radiance RGBE, RLE scanlines -> float32 RGBA)
+* TIFF  — utils/tiff.py (strips + tiles; none/LZW/Deflate/PackBits;
+          predictor 2; gray/palette/RGB/RGBA — the WIC-only container)
 * BMP   — uncompressed BI_RGB 24/32-bit, bottom-up and top-down
 * TGA   — type 2/10 (uncompressed / RLE true-color), 24/32-bit
 * PNM   — P5 (grayscale) / P6 (RGB), maxval 255
@@ -47,6 +49,10 @@ def read_image(path) -> np.ndarray:
         from zrenderer_tpu.utils.hdr import decode_hdr
 
         return decode_hdr(data)
+    if data[:2] in (b"II", b"MM") and data[2:4] in (b"*\x00", b"\x00*"):
+        from zrenderer_tpu.utils.tiff import decode_tiff
+
+        return decode_tiff(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
