@@ -40,6 +40,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)
@@ -91,7 +92,7 @@ def main() -> int:
                                  lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM)
         depth, idx = rp._pallas_call(
-            rp._hbm_vis_kernel,
+            rvt._hbm_vis_kernel,
             grid=(H // rp.TILE_H, W // rp.TILE_W),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -113,7 +114,7 @@ def main() -> int:
 
     def stage_w(m):
         ti, tf = geom(m)
-        color, depth = rp.rasterize_setup_pallas_vis(
+        color, depth = rvt.rasterize_setup_pallas_vis(
             ti, tf, W, H, compact=compact)
         return jnp.float32(color.sum()) + depth.sum()
 

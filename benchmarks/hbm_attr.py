@@ -44,6 +44,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)
@@ -181,7 +182,7 @@ def main() -> int:
 
     def run_bits_variant(name, mode, unroll=8):
         bits = jax.block_until_ready(
-            rp.prepare_group_bits(ti, W, H))
+            rvt.prepare_group_bits(ti, W, H))
         nwords = bits.shape[1]
         kernel = make_bits_kernel(mode, unroll)
         call = rp._pallas_call(
@@ -221,7 +222,7 @@ def main() -> int:
         def run_build(ti):
             def step(c, _):
                 c2, ti2 = jax.lax.optimization_barrier((c, ti))
-                bits2 = rp.prepare_group_bits(ti2, W, H)
+                bits2 = rvt.prepare_group_bits(ti2, W, H)
                 return c2 + bits2[0, 0].astype(jnp.float32), None
             out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
             return out

@@ -64,6 +64,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)
@@ -100,7 +101,7 @@ def main() -> int:
     GPB = g.RASTER_BLOCK // GROUP  # groups per block (= 16)
     gb = gb.reshape(ngroups // GPB, GPB * 8)  # one 128-lane row per block
 
-    table = rp._vis_resolve_table(ti, tf)
+    table = rvt._vis_resolve_table(ti, tf)
     inputs = jax.block_until_ready(jax.device_put(
         (supers, blocks, ti_t, tf_t, gb, table)))
     supers, blocks, ti_t, tf_t, gb, table = inputs
@@ -332,7 +333,7 @@ def main() -> int:
         @jax.jit
         def once(supers, blocks, ti_t, tf_t, gb, table):
             depth, idx = call(supers, blocks, ti_t, tf_t, gb)
-            color = rp.resolve_flat_vis(depth, idx, table)
+            color = rvt.resolve_flat_vis(depth, idx, table)
             return color, depth
 
         try:
@@ -357,7 +358,7 @@ def main() -> int:
                     (c, supers, blocks, ti_t, tf_t, gb, table))
                 c2, s, bl, t_i, t_f, g2, tab = a
                 depth, idx = call(s, bl, t_i, t_f, g2)
-                color = rp.resolve_flat_vis(depth, idx, tab)
+                color = rvt.resolve_flat_vis(depth, idx, tab)
                 return c2 + depth[0, 0] + color[0, 0].astype(jnp.float32), None
             out, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))
             return out

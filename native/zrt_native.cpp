@@ -565,7 +565,256 @@ uint32_t zrt_analyze_vertex_fetch(const uint32_t* indices,
     return ideal ? (uint32_t)(fetched * 1000 / ideal) : 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Meshlet clusterizer (the meshoptimizer clusterizer capability — compiled
+// in the reference, never called: common/build.zig:49-52; kept for full
+// compiled-set parity).  Original greedy design, not meshopt's:
+//
+//   * seeds walk triangles in Morton order of their centroids (spatial
+//     coherence between consecutive meshlets);
+//   * a meshlet grows through vertex-shared adjacency, each step taking
+//     the candidate that introduces the FEWEST new unique vertices
+//     (tie: lowest Morton rank), until the vertex or triangle cap;
+//   * membership/candidate bookkeeping is epoch-stamped so per-meshlet
+//     state never needs clearing.
+//
+// Outputs (caller-allocated, worst case: tri_count meshlets, 3*tri_count
+// meshlet-vertex slots): per-meshlet descriptor quad (vertex_offset,
+// triangle_offset, vertex_count, triangle_count), a global-vertex-id
+// pool, and uint8 local corner indices.  Returns the meshlet count.
+uint32_t zrt_build_meshlets(const uint32_t* indices, uint32_t index_count,
+                            const float* vertices, uint32_t vertex_count,
+                            uint32_t floats_per_vertex,
+                            uint32_t max_vertices, uint32_t max_triangles,
+                            uint32_t* meshlet_desc,     // [n][4]
+                            uint32_t* meshlet_vertices, // vertex id pool
+                            uint8_t* meshlet_triangles  // [3 * tri_count]
+) {
+    uint32_t tri_count = index_count / 3;
+    if (!tri_count || max_vertices < 3 || max_vertices > 256 ||
+        !max_triangles)
+        return 0;
+
+    // Morton rank per triangle (reuses the spatial-sort quantization).
+    std::vector<uint32_t> rank(tri_count), order(tri_count);
+    {
+        std::vector<std::pair<uint64_t, uint32_t>> keys(tri_count);
+        float mn[3] = {1e30f, 1e30f, 1e30f};
+        float mx[3] = {-1e30f, -1e30f, -1e30f};
+        std::vector<float> cent(tri_count * 3);
+        for (uint32_t t = 0; t < tri_count; t++)
+            for (int a = 0; a < 3; a++) {
+                float c = 0;
+                for (int k = 0; k < 3; k++)
+                    c += vertices[(uint64_t)indices[t * 3 + k] *
+                                  floats_per_vertex + a];
+                c /= 3.0f;
+                cent[t * 3 + a] = c;
+                if (c < mn[a]) mn[a] = c;
+                if (c > mx[a]) mx[a] = c;
+            }
+        float scale[3];
+        for (int a = 0; a < 3; a++) {
+            float ext = mx[a] - mn[a];
+            scale[a] = ext > 0 ? 2097151.0f / ext : 0.0f;
+        }
+        for (uint32_t t = 0; t < tri_count; t++) {
+            uint32_t q[3];
+            for (int a = 0; a < 3; a++)
+                q[a] = (uint32_t)((cent[t * 3 + a] - mn[a]) * scale[a]);
+            keys[t] = {spread3(q[0]) | (spread3(q[1]) << 1) |
+                       (spread3(q[2]) << 2), t};
+        }
+        std::sort(keys.begin(), keys.end());
+        for (uint32_t i = 0; i < tri_count; i++) {
+            order[i] = keys[i].second;
+            rank[keys[i].second] = i;
+        }
+    }
+
+    // Vertex -> incident triangle lists (CSR).
+    std::vector<uint32_t> vt_off(vertex_count + 1, 0);
+    for (uint32_t i = 0; i < index_count; i++)
+        if (indices[i] < vertex_count) vt_off[indices[i] + 1]++;
+    for (uint32_t v = 0; v < vertex_count; v++) vt_off[v + 1] += vt_off[v];
+    std::vector<uint32_t> vt(index_count);
+    {
+        std::vector<uint32_t> cur(vt_off.begin(), vt_off.end() - 1);
+        for (uint32_t t = 0; t < tri_count; t++)
+            for (int k = 0; k < 3; k++) {
+                uint32_t v = indices[t * 3 + k];
+                if (v < vertex_count) vt[cur[v]++] = t;
+            }
+    }
+
+    std::vector<uint8_t> tri_used(tri_count, 0);
+    std::vector<uint32_t> vert_epoch(vertex_count, 0);
+    std::vector<uint32_t> vert_local(vertex_count, 0);
+    std::vector<uint32_t> cand_epoch(tri_count, 0);
+    std::vector<uint32_t> cand;
+
+    uint32_t n_meshlets = 0;
+    uint32_t vpool = 0, tpool = 0;
+    uint32_t seed_cursor = 0;
+    uint32_t epoch = 0;
+
+    while (true) {
+        while (seed_cursor < tri_count && tri_used[order[seed_cursor]])
+            seed_cursor++;
+        if (seed_cursor >= tri_count) break;
+
+        epoch++;
+        cand.clear();
+        uint32_t mv = 0, mt = 0;  // counts in the current meshlet
+        uint32_t vbase = vpool, tbase = tpool;
+        uint32_t next_tri = order[seed_cursor];
+
+        while (next_tri != 0xFFFFFFFFu) {
+            uint32_t t = next_tri;
+            tri_used[t] = 1;
+            for (int k = 0; k < 3; k++) {
+                uint32_t v = indices[t * 3 + k];
+                if (vert_epoch[v] != epoch) {
+                    vert_epoch[v] = epoch;
+                    vert_local[v] = mv;
+                    meshlet_vertices[vpool + mv] = v;
+                    mv++;
+                    // New vertex: its incident unused triangles become
+                    // candidates (each at most once per meshlet).
+                    for (uint32_t j = vt_off[v]; j < vt_off[v + 1]; j++) {
+                        uint32_t t2 = vt[j];
+                        if (!tri_used[t2] && cand_epoch[t2] != epoch) {
+                            cand_epoch[t2] = epoch;
+                            cand.push_back(t2);
+                        }
+                    }
+                }
+                meshlet_triangles[(uint64_t)(tpool + mt) * 3 + k] =
+                    (uint8_t)vert_local[v];
+            }
+            mt++;
+
+            // Pick the next candidate: fewest new vertices, then lowest
+            // Morton rank.  Compact used/over-cap candidates away.
+            next_tri = 0xFFFFFFFFu;
+            if (mt < max_triangles) {
+                uint32_t best_new = 4, best_rank = 0xFFFFFFFFu;
+                size_t w = 0;
+                for (size_t i = 0; i < cand.size(); i++) {
+                    uint32_t t2 = cand[i];
+                    if (tri_used[t2]) continue;
+                    cand[w++] = t2;
+                    uint32_t nn = 0;
+                    for (int k = 0; k < 3; k++)
+                        if (vert_epoch[indices[t2 * 3 + k]] != epoch) nn++;
+                    if (mv + nn > max_vertices) continue;
+                    if (nn < best_new ||
+                        (nn == best_new && rank[t2] < best_rank)) {
+                        best_new = nn;
+                        best_rank = rank[t2];
+                        next_tri = t2;
+                    }
+                }
+                cand.resize(w);
+            }
+        }
+
+        meshlet_desc[(uint64_t)n_meshlets * 4 + 0] = vbase;
+        meshlet_desc[(uint64_t)n_meshlets * 4 + 1] = tbase;
+        meshlet_desc[(uint64_t)n_meshlets * 4 + 2] = mv;
+        meshlet_desc[(uint64_t)n_meshlets * 4 + 3] = mt;
+        n_meshlets++;
+        vpool += mv;
+        tpool += mt;
+    }
+    return n_meshlets;
+}
+
+// Per-meshlet culling bounds: bounding sphere of the meshlet vertices
+// (centroid center) + a normal cone (unit axis = normalized mean of the
+// triangle geometric normals; cutoff = the minimum dot(axis, normal)
+// over the meshlet, so a meshlet is back-facing when
+// dot(axis, view) < -sqrt(1 - cutoff^2) for cutoff >= 0).
+// Writes [cx, cy, cz, radius, ax, ay, az, cutoff] per meshlet.
+void zrt_compute_meshlet_bounds(const uint32_t* meshlet_desc,
+                                uint32_t n_meshlets,
+                                const uint32_t* meshlet_vertices,
+                                const uint8_t* meshlet_triangles,
+                                const float* vertices,
+                                uint32_t floats_per_vertex,
+                                float* bounds  // [n][8]
+) {
+    for (uint32_t m = 0; m < n_meshlets; m++) {
+        uint32_t vbase = meshlet_desc[m * 4 + 0];
+        uint32_t tbase = meshlet_desc[m * 4 + 1];
+        uint32_t mv = meshlet_desc[m * 4 + 2];
+        uint32_t mt = meshlet_desc[m * 4 + 3];
+        float c[3] = {0, 0, 0};
+        for (uint32_t i = 0; i < mv; i++) {
+            const float* p = vertices +
+                (uint64_t)meshlet_vertices[vbase + i] * floats_per_vertex;
+            for (int a = 0; a < 3; a++) c[a] += p[a];
+        }
+        for (int a = 0; a < 3; a++) c[a] /= mv ? (float)mv : 1.0f;
+        float r2 = 0;
+        for (uint32_t i = 0; i < mv; i++) {
+            const float* p = vertices +
+                (uint64_t)meshlet_vertices[vbase + i] * floats_per_vertex;
+            float d2 = 0;
+            for (int a = 0; a < 3; a++)
+                d2 += (p[a] - c[a]) * (p[a] - c[a]);
+            if (d2 > r2) r2 = d2;
+        }
+
+        // Triangle geometric normals (unit), accumulated axis.
+        std::vector<std::array<float, 3>> nrm(mt);
+        float axis[3] = {0, 0, 0};
+        for (uint32_t t = 0; t < mt; t++) {
+            const float* p[3];
+            for (int k = 0; k < 3; k++)
+                p[k] = vertices + (uint64_t)meshlet_vertices[
+                    vbase + meshlet_triangles[(uint64_t)(tbase + t) * 3 + k]
+                ] * floats_per_vertex;
+            float e1[3], e2[3], n[3];
+            for (int a = 0; a < 3; a++) {
+                e1[a] = p[1][a] - p[0][a];
+                e2[a] = p[2][a] - p[0][a];
+            }
+            n[0] = e1[1] * e2[2] - e1[2] * e2[1];
+            n[1] = e1[2] * e2[0] - e1[0] * e2[2];
+            n[2] = e1[0] * e2[1] - e1[1] * e2[0];
+            float len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+            float inv = len > 0 ? 1.0f / len : 0.0f;
+            for (int a = 0; a < 3; a++) {
+                nrm[t][a] = n[a] * inv;
+                axis[a] += n[a] * inv;
+            }
+        }
+        float alen = std::sqrt(axis[0] * axis[0] + axis[1] * axis[1] +
+                               axis[2] * axis[2]);
+        float ainv = alen > 1e-20f ? 1.0f / alen : 0.0f;
+        for (int a = 0; a < 3; a++) axis[a] *= ainv;
+        float cutoff = 1.0f;
+        for (uint32_t t = 0; t < mt; t++) {
+            float d = axis[0] * nrm[t][0] + axis[1] * nrm[t][1] +
+                      axis[2] * nrm[t][2];
+            if (d < cutoff) cutoff = d;
+        }
+        if (alen <= 1e-20f) cutoff = -1.0f;  // degenerate: never cullable
+
+        bounds[m * 8 + 0] = c[0];
+        bounds[m * 8 + 1] = c[1];
+        bounds[m * 8 + 2] = c[2];
+        bounds[m * 8 + 3] = std::sqrt(r2);
+        bounds[m * 8 + 4] = axis[0];
+        bounds[m * 8 + 5] = axis[1];
+        bounds[m * 8 + 6] = axis[2];
+        bounds[m * 8 + 7] = cutoff;
+    }
+}
+
 // Library version/sanity probe.
-uint32_t zrt_version() { return 12; }
+uint32_t zrt_version() { return 13; }
 
 }  // extern "C"

@@ -34,7 +34,20 @@ if not RUN_ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
 
+RUN_EXPERIMENTS = os.environ.get("ZRENDERER_RUN_EXPERIMENTS", "") not in (
+    "", "0"
+)
+
+
 def pytest_collection_modifyitems(config, items):
+    if not RUN_EXPERIMENTS:
+        skip_exp = pytest.mark.skip(
+            reason="quarantined kernel experiment (set "
+                   "ZRENDERER_RUN_EXPERIMENTS=1 to run)"
+        )
+        for item in items:
+            if "experiments" in item.keywords:
+                item.add_marker(skip_exp)
     if RUN_ON_TPU:
         return
     skip = pytest.mark.skip(

@@ -756,3 +756,82 @@ def test_tiff_tiled_decoder(tmp_path):
         # Cross-check the hand-built file with PIL as a second reader.
         ref = np.asarray(Image.open(p).convert("RGB"))
         np.testing.assert_array_equal(ref, rgb)
+
+
+def test_build_meshlets():
+    """Meshlet clusterizer (the meshoptimizer clusterizer capability,
+    compiled-but-never-called in the reference — common/build.zig:49-52):
+    partition validity, cap enforcement, native/Python-fallback equality,
+    and culling bounds."""
+    from zrenderer_tpu.scene.procedural import make_stress_scene
+    from zrenderer_tpu.utils import native
+
+    scene, md = make_stress_scene(2000)
+    # Weld positions first (the stress lattice is an unwelded quad soup;
+    # without shared vertices there is no adjacency to grow through).
+    raw = md.vertex_data.reshape(-1, 16)
+    remap, uniq = native.generate_vertex_remap(
+        np.ascontiguousarray(raw[:, :3]))
+    verts, idx = native.apply_remap(
+        raw, remap, uniq, md.index_data.astype(np.uint32))
+    tri_count = len(idx) // 3
+
+    max_v, max_t = 64, 126
+    desc, mv, mt = native.build_meshlets(idx, verts, max_v, max_t)
+
+    # Partition: every triangle appears exactly once, reconstructed
+    # global indices cover the input set.
+    assert desc[:, 3].sum() == tri_count
+    assert (desc[:, 2] <= max_v).all() and (desc[:, 3] <= max_t).all()
+    assert (desc[:, 2] >= 3).all() and (desc[:, 3] >= 1).all()
+    recon = set()
+    for vb, tb, nv, nt in desc:
+        local = mt[tb:tb + nt]
+        assert local.max() < nv
+        glob = mv[vb + local.astype(np.uint32)]
+        for tri in glob:
+            recon.add(tuple(sorted(tri.tolist())))
+        # Meshlet vertex pool has no duplicates.
+        assert len(set(mv[vb:vb + nv].tolist())) == nv
+    orig = set(tuple(sorted(t.tolist())) for t in idx.reshape(-1, 3))
+    assert recon == orig
+
+    # The stress lattice is disjoint 12-triangle cubes, so every
+    # meshlet is exactly one component: greedy growth found each whole
+    # component without crossing.
+    assert (desc[:, 3] == 12).all() and (desc[:, 2] == 8).all()
+
+    # On a CONNECTED mesh, growth should near-fill the caps: a closed
+    # sphere yields high average occupancy.
+    sv, si = _sphere_mesh(24, 36)
+    sverts = np.zeros((len(sv), 16), np.float32)
+    sverts[:, :3] = sv
+    sdesc, smv, smt = native.build_meshlets(si, sverts, max_v, max_t)
+    assert sdesc[:, 3].sum() == len(si) // 3
+    assert sdesc[:, 3].astype(np.float64).mean() > max_t * 0.6
+
+    # Native and the Python fallback implement the identical algorithm.
+    assert native.available()
+    lib = native._LIB
+    try:
+        native._LIB = None
+        native.load = lambda build_if_missing=True: None
+        desc_p, mv_p, mt_p = native.build_meshlets(idx, verts, max_v, max_t)
+    finally:
+        native._LIB = lib
+        import importlib
+        importlib.reload(native)
+    np.testing.assert_array_equal(desc, desc_p)
+    np.testing.assert_array_equal(mv, mv_p)
+    np.testing.assert_array_equal(mt, mt_p)
+
+    # Bounds: every meshlet vertex inside its sphere; cone cutoff sane.
+    bounds = native.compute_meshlet_bounds(desc, mv, mt, verts)
+    assert bounds.shape == (len(desc), 8)
+    for m, (vb, tb, nv, nt) in enumerate(desc):
+        pos = verts[mv[vb:vb + nv], :3]
+        d = np.linalg.norm(pos - bounds[m, :3], axis=1)
+        assert d.max() <= bounds[m, 3] * (1 + 1e-5) + 1e-6
+        assert -1.0 <= bounds[m, 7] <= 1.0
+        ax = bounds[m, 4:7]
+        assert abs(np.linalg.norm(ax) - 1.0) < 1e-4 or bounds[m, 7] == -1.0

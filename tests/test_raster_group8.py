@@ -1,4 +1,4 @@
-"""Group-vectorized binned raster (ops/raster_group8.py) parity.
+"""Group-vectorized binned raster (ops/experiments/raster_group8.py) parity.
 
 The group8 kernels must be bit-identical to the scalar hierarchy kernels
 (which are themselves oracle-verified in test_raster_pallas.py): the
@@ -14,12 +14,15 @@ are kept small and expensive renders are computed once per module.
 from functools import lru_cache
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.experiments
 
 import jax.numpy as jnp
 
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
-from zrenderer_tpu.ops import raster_group8 as g8
+from zrenderer_tpu.ops.experiments import raster_group8 as g8
 from zrenderer_tpu.ops import raster_pallas as rp
 from zrenderer_tpu.scene.procedural import make_triangle_soup
 

@@ -8,6 +8,7 @@ oracle is verified on real TPU hardware by bench.py --verify.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_pallas as rp
+from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
 from zrenderer_tpu.raster_ref import raster_cpu
 from zrenderer_tpu.scene.procedural import make_test_scene
 
@@ -102,6 +104,7 @@ def test_pallas_hbm_streaming_matches_oracle():
     assert np.abs(u8_pl.astype(np.int32) - u8_cpu.astype(np.int32)).max() <= 1
 
 
+@pytest.mark.experiments
 def test_vis_buffer_matches_hbm_kernel():
     """The visibility-buffer path (z+id Pallas pass + XLA color resolve)
     is bit-identical to the single-pass HBM kernel: same depth plane,
@@ -119,7 +122,7 @@ def test_vis_buffer_matches_hbm_kernel():
     color_h, depth_h = rp.rasterize_setup_pallas_hbm(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
-    color_v, depth_v = rp.rasterize_setup_pallas_vis(
+    color_v, depth_v = rvt.rasterize_setup_pallas_vis(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(depth_v), np.asarray(depth_h))
@@ -127,6 +130,7 @@ def test_vis_buffer_matches_hbm_kernel():
     assert (np.asarray(depth_v) < 1.0).mean() > 0.1
 
 
+@pytest.mark.experiments
 def test_trans_group_raster_matches_hbm_kernel():
     """The transposed-group visibility raster (8 triangles per sublane
     vector, z+id merge, exact XLA resolve) is bit-identical to the
@@ -155,7 +159,7 @@ def test_trans_group_raster_matches_hbm_kernel():
     color_h, depth_h = rp.rasterize_setup_pallas_hbm(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
-    color_t, depth_t = rp.rasterize_setup_pallas_trans(
+    color_t, depth_t = rvt.rasterize_setup_pallas_trans(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     assert (np.asarray(depth_h) < 1.0).mean() > 0.05

@@ -109,6 +109,20 @@ def load(build_if_missing: bool = True):
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
     ]
+    lib.zrt_build_meshlets.restype = ctypes.c_uint32
+    lib.zrt_build_meshlets.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.zrt_compute_meshlet_bounds.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     log.info("libzrt loaded (version %d)", lib.zrt_version())
     return lib
@@ -454,3 +468,181 @@ def encode_png(rgba: np.ndarray) -> bytes:
 
         return py_encode(rgba)
     return out[:size].tobytes()
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def build_meshlets(indices: np.ndarray, vertices: np.ndarray,
+                   max_vertices: int = 64, max_triangles: int = 126):
+    """Split an indexed mesh into meshlets (the meshoptimizer clusterizer
+    capability — compiled in the reference, never called:
+    common/build.zig:49-52).  Greedy growth over vertex-shared adjacency
+    from Morton-ordered seeds; each step adds the candidate introducing
+    the fewest new unique vertices (tie: lowest Morton rank).
+
+    Returns (desc, meshlet_vertices, meshlet_triangles):
+    desc (n, 4) uint32 rows of (vertex_offset, triangle_offset,
+    vertex_count, triangle_count) into the two pools; meshlet_vertices
+    uint32 global vertex ids; meshlet_triangles (total_tris, 3) uint8
+    local corner indices.  The Python fallback implements the identical
+    algorithm (asserted equal in tests/test_native.py)."""
+    indices = np.ascontiguousarray(indices, np.uint32)
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    tri_count = len(indices) // 3
+    n, fpv = vertices.shape
+    assert 3 <= max_vertices <= 256 and max_triangles >= 1
+    lib = load()
+    if lib is not None:
+        desc = np.empty((tri_count, 4), np.uint32)
+        mv = np.empty(3 * tri_count, np.uint32)
+        mt = np.empty(3 * tri_count, np.uint8)
+        count = lib.zrt_build_meshlets(
+            _u32p(indices), len(indices), _f32p(vertices), n, fpv,
+            max_vertices, max_triangles, _u32p(desc.reshape(-1)),
+            _u32p(mv), _u8p(mt),
+        )
+        desc = desc[:count].copy()
+        total_v = int(desc[:, 0][-1] + desc[:, 2][-1]) if count else 0
+        total_t = int(desc[:, 1][-1] + desc[:, 3][-1]) if count else 0
+        return desc, mv[:total_v].copy(), mt[:3 * total_t].reshape(-1, 3).copy()
+
+    # Python fallback: the same greedy algorithm.
+    # Single-precision quantization throughout, matching the native path
+    # exactly (the seed order must agree for identical output).
+    cent = (vertices[indices.reshape(-1, 3), :3].sum(
+        axis=1, dtype=np.float32) / np.float32(3.0))
+    mn = cent.min(axis=0)
+    ext = cent.max(axis=0) - mn
+    scale = np.where(
+        ext > 0, np.float32(2097151.0) / np.where(ext > 0, ext, 1), 0.0
+    ).astype(np.float32)
+    q = ((cent - mn) * scale).astype(np.uint32)
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return x
+
+    key = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    order = np.argsort(key, kind="stable").astype(np.uint32)
+    rank = np.empty(tri_count, np.uint32)
+    rank[order] = np.arange(tri_count, dtype=np.uint32)
+
+    tris = indices.reshape(-1, 3)
+    vt: list = [[] for _ in range(n)]
+    for t in range(tri_count):
+        for v in tris[t]:
+            vt[v].append(t)
+
+    tri_used = np.zeros(tri_count, bool)
+    vert_epoch = np.zeros(n, np.int64)
+    vert_local = np.zeros(n, np.uint32)
+    cand_epoch = np.zeros(tri_count, np.int64)
+    desc_rows = []
+    pool_v: list = []
+    pool_t: list = []
+    seed_cursor = 0
+    epoch = 0
+    while True:
+        while seed_cursor < tri_count and tri_used[order[seed_cursor]]:
+            seed_cursor += 1
+        if seed_cursor >= tri_count:
+            break
+        epoch += 1
+        cand: list = []
+        mv_n = mt_n = 0
+        vbase, tbase = len(pool_v), len(pool_t)
+        next_tri = int(order[seed_cursor])
+        while next_tri != -1:
+            t = next_tri
+            tri_used[t] = True
+            row = []
+            for v in tris[t]:
+                v = int(v)
+                if vert_epoch[v] != epoch:
+                    vert_epoch[v] = epoch
+                    vert_local[v] = mv_n
+                    pool_v.append(v)
+                    mv_n += 1
+                    for t2 in vt[v]:
+                        if not tri_used[t2] and cand_epoch[t2] != epoch:
+                            cand_epoch[t2] = epoch
+                            cand.append(t2)
+                row.append(int(vert_local[v]))
+            pool_t.append(row)
+            mt_n += 1
+            next_tri = -1
+            if mt_n < max_triangles:
+                best_new, best_rank = 4, 1 << 32
+                keep = []
+                for t2 in cand:
+                    if tri_used[t2]:
+                        continue
+                    keep.append(t2)
+                    nn = sum(
+                        1 for v in tris[t2] if vert_epoch[int(v)] != epoch
+                    )
+                    if mv_n + nn > max_vertices:
+                        continue
+                    if nn < best_new or (nn == best_new
+                                         and rank[t2] < best_rank):
+                        best_new, best_rank, next_tri = nn, int(rank[t2]), t2
+                cand = keep
+        desc_rows.append((vbase, tbase, mv_n, mt_n))
+    desc = np.asarray(desc_rows, np.uint32).reshape(-1, 4)
+    return (desc, np.asarray(pool_v, np.uint32),
+            np.asarray(pool_t, np.uint8).reshape(-1, 3))
+
+
+def compute_meshlet_bounds(desc: np.ndarray, meshlet_vertices: np.ndarray,
+                           meshlet_triangles: np.ndarray,
+                           vertices: np.ndarray) -> np.ndarray:
+    """Per-meshlet culling bounds: (n, 8) float32 rows of
+    [cx, cy, cz, radius, ax, ay, az, cutoff] — centroid bounding sphere
+    + normal cone (axis = normalized mean unit geometric normal; cutoff
+    = min dot(axis, normal); -1 for degenerate cones, never cullable)."""
+    desc = np.ascontiguousarray(desc, np.uint32)
+    meshlet_vertices = np.ascontiguousarray(meshlet_vertices, np.uint32)
+    meshlet_triangles = np.ascontiguousarray(meshlet_triangles, np.uint8)
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    count = len(desc)
+    fpv = vertices.shape[1]
+    lib = load()
+    if lib is not None:
+        bounds = np.empty((count, 8), np.float32)
+        lib.zrt_compute_meshlet_bounds(
+            _u32p(desc.reshape(-1)), count, _u32p(meshlet_vertices),
+            _u8p(meshlet_triangles.reshape(-1)), _f32p(vertices), fpv,
+            _f32p(bounds.reshape(-1)),
+        )
+        return bounds
+    bounds = np.empty((count, 8), np.float32)
+    for m, (vb, tb, nv, nt) in enumerate(desc):
+        pos = vertices[meshlet_vertices[vb:vb + nv], :3]
+        # float32 accumulation to match the native single-precision path
+        c = pos.sum(axis=0, dtype=np.float32) / np.float32(max(nv, 1))
+        r = np.sqrt(((pos - c) ** 2).sum(axis=1).max()) if nv else 0.0
+        local = meshlet_triangles[tb:tb + nt]
+        p = vertices[meshlet_vertices[vb + local.astype(np.uint32)], :3]
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        nrm = np.cross(e1, e2)
+        ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+        nrm = np.where(ln > 0, nrm / np.where(ln > 0, ln, 1), 0.0)
+        axis = nrm.sum(axis=0)
+        alen = np.linalg.norm(axis)
+        if alen > 1e-20:
+            axis = axis / alen
+            cutoff = float((nrm @ axis).min()) if nt else 1.0
+        else:
+            axis = np.zeros(3)
+            cutoff = -1.0
+        bounds[m] = [*c, r, *axis, cutoff]
+    return bounds
