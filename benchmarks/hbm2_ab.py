@@ -36,6 +36,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops.experiments import raster_hbm2 as rh2
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)
@@ -91,7 +92,7 @@ def main() -> int:
         lambda a, c: rp.rasterize_setup_pallas_hbm(a, c, W, H, compact=False)
     ), ti, tf)
     t2 = timed("hbm2 two-class windowed", scan_digest(
-        lambda a, c: rp.rasterize_setup_pallas_hbm2(a, c, W, H)
+        lambda a, c: rh2.rasterize_setup_pallas_hbm2(a, c, W, H)
     ), ti, tf)
 
     # Prepare-stage deltas (tables + packing), same barrier'd scan.
@@ -111,7 +112,7 @@ def main() -> int:
         def step(c, _):
             c2, t_i, t_f = jax.lax.optimization_barrier((c, ti_in, tf_in))
             (ss, bs, tis, st, bt, tit, tf2) = \
-                rp.prepare_raster_inputs_2class(t_i, t_f)
+                rh2.prepare_raster_inputs_2class(t_i, t_f)
             ap, cp = rp._hbm_flat_inputs(tis, tf2)
             bp, _ = rp._hbm_flat_inputs(tit, tf2)
             return c2 + ss[0, 0].astype(jnp.float32) + st[0, 0].astype(

@@ -37,7 +37,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
-    from zrenderer_tpu.ops import raster_scanline as rs
+    from zrenderer_tpu.ops.experiments import raster_scanline as rs
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_pallas as rp
+from zrenderer_tpu.ops.experiments import raster_hbm2 as rh2
 from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
 from zrenderer_tpu.raster_ref import raster_cpu
 from zrenderer_tpu.scene.procedural import make_test_scene
@@ -482,6 +483,7 @@ def test_small_bins_auto_dispatch_bounds():
     assert rp._use_small_bins("small", big_rows)  # explicit (prep asserts)
 
 
+@pytest.mark.experiments
 def test_hbm2_two_class_matches_oracle_demo_scene():
     """The two-class windowed HBM kernel on the demo scene (all-tall
     class: cube faces span many rows) — oracle parity, interpret mode."""
@@ -497,7 +499,7 @@ def test_hbm2_two_class_matches_oracle_demo_scene():
     img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, W, H)
     u8_cpu = raster_cpu.pack_u8(img_cpu)
 
-    color, depth = rp.rasterize_setup_pallas_hbm2(
+    color, depth = rh2.rasterize_setup_pallas_hbm2(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     u8_pl = np.asarray(rp.unpack_rgba8(color))
@@ -518,6 +520,7 @@ def test_hbm2_two_class_matches_oracle_demo_scene():
     np.testing.assert_array_equal(np.asarray(color), np.asarray(color_1))
 
 
+@pytest.mark.experiments
 def test_hbm2_two_class_matches_hbm1_stress_mix():
     """Short/tall mixed scene (tiny lattice cubes at low res: bbox spans
     straddle the 8-row class boundary): the two-class kernel is
@@ -543,7 +546,7 @@ def test_hbm2_two_class_matches_hbm1_stress_mix():
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True,
         compact=False,
     )
-    color_2, depth_2 = rp.rasterize_setup_pallas_hbm2(
+    color_2, depth_2 = rh2.rasterize_setup_pallas_hbm2(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     assert (np.asarray(depth_1) < 1.0).mean() > 0.05
@@ -551,6 +554,7 @@ def test_hbm2_two_class_matches_hbm1_stress_mix():
     np.testing.assert_array_equal(np.asarray(color_2), np.asarray(color_1))
 
 
+@pytest.mark.experiments
 def test_hbm2_cross_class_exact_z_tie_breaks_by_id():
     """Constructed exact depth tie between a SHORT and a TALL triangle
     (za columns zeroed -> z == 0 on every covered pixel): the two-pass
@@ -597,7 +601,7 @@ def test_hbm2_cross_class_exact_z_tie_breaks_by_id():
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True,
         compact=False,
     )
-    color, depth = rp.rasterize_setup_pallas_hbm2(
+    color, depth = rh2.rasterize_setup_pallas_hbm2(
         jnp.asarray(ti), jnp.asarray(tf), W, H, interpret=True
     )
     # Both triangles rendered somewhere at the tied depth 0.0.

@@ -10,13 +10,16 @@ bench.py --verify.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.experiments
 
 import jax.numpy as jnp
 
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_pallas as rp
-from zrenderer_tpu.ops import raster_scanline as rs
+from zrenderer_tpu.ops.experiments import raster_scanline as rs
 from zrenderer_tpu.raster_ref import raster_cpu
 from zrenderer_tpu.scene.procedural import make_stress_scene, make_test_scene
 
