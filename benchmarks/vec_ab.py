@@ -1,5 +1,5 @@
 """A/B: HBM hierarchy raster (hbm1, the measured 1M champion at 312 ms)
-vs the block-grouped lane-parallel kernel (ops/raster_vec.py) — the
+vs the block-grouped lane-parallel kernel (ops/experiments/raster_vec.py) — the
 round-4 attack on the ~250 ns/visit scalar floor.
 
 Honest methodology (docs/PERFORMANCE.md): each variant runs as a lax.scan
@@ -38,7 +38,7 @@ def main() -> int:
     from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
-    from zrenderer_tpu.ops import raster_vec as rv
+    from zrenderer_tpu.ops.experiments import raster_vec as rv
     from zrenderer_tpu.scene.procedural import make_stress_scene
 
     cfg = RenderConfig(width=1920, height=1080)

@@ -1,4 +1,4 @@
-"""Block-grouped lane-parallel raster (ops/raster_vec.py) parity.
+"""Block-grouped lane-parallel raster (ops/experiments/raster_vec.py) parity.
 
 The vec kernel must be bit-identical to the HBM hierarchy kernel (which
 is itself oracle-verified in test_raster_pallas.py): coverage is the
@@ -12,13 +12,16 @@ triangle scene below constructs deliberately.
 from functools import lru_cache
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.experiments
 
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_pallas as rp
-from zrenderer_tpu.ops import raster_vec as rv
+from zrenderer_tpu.ops.experiments import raster_vec as rv
 from zrenderer_tpu.scene.procedural import make_test_scene, make_triangle_soup
 
 

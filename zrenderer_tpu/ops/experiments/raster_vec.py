@@ -1,5 +1,16 @@
 """Block-grouped lane-parallel raster — the round-4 attack on the
-~250 ns/visit scalar floor.
+~250 ns/visit scalar floor.  MEASURED SLOWER (quarantined): 1116.0 ms
+vs hbm1's 317.1 ms at 1M triangles @1080p on v5e (benchmarks/vec_ab.py,
+2026-08-21, barrier'd-scan, depth bit-equal).  Post-mortem: each
+chunk_eval keeps ~100 live (32, 8, 128) intermediates (~3200 vregs),
+so Mosaic spills registers to VMEM throughout the unrolled 16-way
+subgroup x chunk body — the spill traffic costs far more than the
+amortized scalar machinery saves.  Second finding (fixed here, applies
+to any future MXU-gather design): the MXU's DEFAULT f32 matmul path
+truncates inputs to one bf16 pass, so the one-hot coefficient gather
+was NOT bit-exact on hardware (depth OK / color MISMATCH in the A/B);
+``precision=HIGHEST`` restores exactness (verified exact on-chip for
+one-hot single-term sums).
 
 Every prior large-scene kernel (hbm1/hbm2/group8/trans/scanline) pays
 per-(tile, triangle) SCALAR machinery: 16-30 scalar VMEM reads feeding
@@ -245,9 +256,15 @@ def _vec_kernel(sup_ref, blk_ref, rec_hbm, color_ref, depth_ref,
                          _F_BASE + g.F_U0 + extra], f32
                 ),
             ], axis=1)
+        # precision=HIGHEST: the MXU's default f32 path truncates inputs
+        # to one bf16 pass, which broke bit-exactness on hardware (depth
+        # OK / color MISMATCH in the 1M A/B).  HIGHEST uses the exact
+        # multi-pass f32 emulation; with a one-hot mask every output
+        # column is a single-term sum, so the result is bit-exact.
         gat = jax.lax.dot_general(
             cof, ohf.reshape(SUBGROUP, CHUNK_H * TILE_W),
             (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(n_cof + extra, CHUNK_H, TILE_W)
 
         def interp(k):
