@@ -78,8 +78,15 @@ def main() -> int:
     print(f"soup: {tris} tris, {n_rows} setup rows, "
           f"platform={jax.devices()[0].platform}")
     results = {}
-    variants = [("hierarchy", rp.rasterize_setup_pallas),
-                ("tile_lists", rp.rasterize_setup_pallas_binned)]
+    if n_rows > rp.VMEM_RESIDENT_MAX_TRIS:
+        # Past the VMEM-resident bound: hierarchy streams from HBM and
+        # tile_lists streams pair-ordered records (the VMEM binned
+        # kernel cannot compile here — whole-VMEM ti/tf operands).
+        variants = [("hierarchy", rp.rasterize_setup_pallas_hbm),
+                    ("tile_lists", rp.rasterize_setup_pallas_binned_hbm)]
+    else:
+        variants = [("hierarchy", rp.rasterize_setup_pallas),
+                    ("tile_lists", rp.rasterize_setup_pallas_binned)]
     if g.head_count(n_rows) <= rp.SMALL_BIN_MAX_ROWS:
         variants.append(("small", rp.rasterize_setup_pallas_small))
     for name, fn in variants:

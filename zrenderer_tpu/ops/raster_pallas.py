@@ -934,15 +934,20 @@ def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         vertex_shader=vertex_shader,
     )
+    if _use_tile_lists(binning, tri_i32.shape[0]):
+        raster_depth = (
+            rasterize_depth_pallas_binned_hbm
+            if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS
+            else rasterize_depth_pallas_binned
+        )
+        return raster_depth(
+            tri_i32, tri_f32, width, height, interpret=interpret
+        )
     if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         _, depth = rasterize_setup_pallas_hbm(
             tri_i32, tri_f32, width, height, interpret=interpret
         )
         return depth
-    if _use_tile_lists(binning, tri_i32.shape[0]):
-        return rasterize_depth_pallas_binned(
-            tri_i32, tri_f32, width, height, interpret=interpret
-        )
     if _use_small_bins(binning, tri_i32.shape[0]):
         return rasterize_depth_pallas_small(
             tri_i32, tri_f32, width, height, interpret=interpret
@@ -1044,10 +1049,14 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         normal_matrices=normal_matrices, material_table=material_table,
         vertex_shader=vertex_shader,
     )
-    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+    if _use_tile_lists(binning, tri_i32.shape[0]):
+        raster = (
+            rasterize_gbuffer_pallas_binned_hbm
+            if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS
+            else rasterize_gbuffer_pallas_binned
+        )
+    elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         raster = rasterize_gbuffer_pallas_hbm
-    elif _use_tile_lists(binning, tri_i32.shape[0]):
-        raster = rasterize_gbuffer_pallas_binned
     elif _use_small_bins(binning, tri_i32.shape[0]):
         raster = rasterize_gbuffer_pallas_small
     else:
@@ -1579,6 +1588,504 @@ def rasterize_depth_pallas_binned(tri_i32, tri_f32, width: int, height: int,
 
 
 # ---------------------------------------------------------------------------
+# HBM-scale per-tile lists: pair-ordered record streaming
+# ---------------------------------------------------------------------------
+# The VMEM-resident binned kernel above cannot COMPILE past
+# VMEM_RESIDENT_MAX_TRIS (ti/tf as whole-VMEM operands are ~26 MB at 100K
+# rows — the round-4 soup runs OOM'd at 100K and 1M).  This variant makes
+# tile_lists work at any scale by changing WHAT streams: instead of pair
+# INDICES into VMEM-resident triangle arrays, the prepare gathers each
+# pair's full setup record into a PAIR-ORDERED packed array (4 int records
+# per 128-lane row / 2 float records per row — the _hbm_flat_inputs
+# layout, plus the triangle id in spare lane L_PID for the tie-break).  A
+# tile's span is contiguous after the sort, so the kernel DMAs sequential
+# (REC_CHUNK-record) slabs from HBM and pays ZERO bbox tests in the list
+# phase — every streamed record is a guaranteed bbox hit.  Leftovers
+# (clipped fans, cap-exceeding footprints) go through the standard HBM
+# block hierarchy with the same (z, id) tie-break.
+#
+# Because the kernel breaks exact depth ties by triangle id (order-free
+# semantics, same contract as the VMEM binned kernel), the pair sort
+# needs NO stability: pairs sort as packed VALUES (tile_key << idx_bits |
+# pair_idx, unique), which on TPU avoids the argsort's index gather.
+
+REC_CHUNK = 512   # records per streamed slab (i-slab 128 rows, f-slab 256)
+REC_ALIGN = 256   # slab base alignment in records (8-sublane-safe rows)
+L_PID = g.NI32    # spare int lane carrying the triangle id (tie-break)
+
+
+def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
+                              cap: int | None = None):
+    """Pair build + value-sort + record gather for the streaming binned
+    kernel.  Returns (offsets, prec_i, prec_f, supers, blocks, hti, htf):
+    offsets (NUM_TILES+1,) i32 span boundaries in RECORDS; prec_i
+    (P//4, 128) i32 / prec_f (P//2, 128) f32 pair-ordered packed records;
+    hti/htf the leftover hierarchy's packed HBM rows."""
+    tiles_x = width // TILE_W
+    tiles_y = height // TILE_H
+    num_tiles = tiles_x * tiles_y
+    if cap is None:
+        cap = bin_cap_for(g.head_count(tri_i32.shape[0]))
+
+    n_input = g.head_count(tri_i32.shape[0])
+    t = tri_i32.shape[0]
+    pad = (-t) % g.RASTER_BLOCK
+    if pad:
+        tri_i32 = jnp.concatenate(
+            [tri_i32, jnp.zeros((pad, g.NI32), jnp.int32)
+             .at[:, g.I_JMIN].set(1)
+             .at[:, g.I_BIAS0].set(2**31 - 1)
+             .at[:, g.I_BIAS1].set(2**31 - 1)
+             .at[:, g.I_BIAS2].set(2**31 - 1)], axis=0
+        )
+        tri_f32 = jnp.concatenate(
+            [tri_f32, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
+        )
+
+    head = tri_i32[:n_input]
+    valid = head[:, g.I_VALID] > 0
+    tj0 = head[:, g.I_JMIN] // TILE_W
+    tj1 = head[:, g.I_JMAX] // TILE_W
+    ty0 = head[:, g.I_IMIN] // TILE_H
+    ty1 = head[:, g.I_IMAX] // TILE_H
+    ntx = tj1 - tj0 + 1
+    nty = ty1 - ty0 + 1
+    foot = ntx * nty
+    listed = valid & (foot <= cap)
+
+    keys = []
+    for e in range(cap):
+        dx = e % ntx
+        dy = e // ntx
+        pvalid = listed & (e < foot)
+        keys.append(
+            jnp.where(pvalid, (ty0 + dy) * tiles_x + (tj0 + dx), num_tiles)
+        )
+    keys = jnp.stack(keys, axis=1).reshape(-1)  # (P0,) tri-major
+    p0 = n_input * cap
+    idx_bits = max(1, (p0 - 1).bit_length())
+    if (num_tiles + 1) << idx_bits <= 2**31:
+        # Unstable value sort: keys unique after packing the pair index
+        # into the low bits; order within a tile is free (id tie-break).
+        packed = (keys << idx_bits) | jnp.arange(p0, dtype=jnp.int32)
+        sp = jnp.sort(packed)
+        sorted_tri = (sp & ((1 << idx_bits) - 1)) // cap
+        offsets = jnp.searchsorted(
+            sp, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << idx_bits)
+        ).astype(jnp.int32)
+    else:  # pathological tile counts: stable argsort fallback
+        order = jnp.argsort(keys, stable=True)
+        sorted_keys = keys[order]
+        sorted_tri = (order // cap).astype(jnp.int32)
+        offsets = jnp.searchsorted(
+            sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+
+    # Pad so any REC_ALIGN-based window DMA stays in bounds, then gather
+    # the pair-ordered packed records (id in lane L_PID).
+    pad_p = (-p0) % REC_ALIGN + REC_CHUNK
+    sorted_tri = jnp.concatenate([sorted_tri, jnp.zeros(pad_p, jnp.int32)])
+    p = p0 + pad_p
+    pi = jnp.pad(tri_i32, ((0, 0), (0, I32_LANES - g.NI32)))
+    pf = jnp.pad(tri_f32, ((0, 0), (0, F32_LANES - g.NF32)))
+    prec_i = pi[sorted_tri].at[:, L_PID].set(sorted_tri)
+    prec_f = pf[sorted_tri]
+    prec_i = prec_i.reshape(p // 4, 4 * I32_LANES)
+    prec_f = prec_f.reshape(p // 2, 2 * F32_LANES)
+
+    # Leftover hierarchy: empty listed rows so the block tables skip them.
+    row_listed = jnp.concatenate(
+        [listed, jnp.zeros(tri_i32.shape[0] - n_input, bool)]
+    )
+    hier = tri_i32
+    hier = hier.at[:, g.I_JMIN].set(
+        jnp.where(row_listed, 1, hier[:, g.I_JMIN]))
+    hier = hier.at[:, g.I_JMAX].set(
+        jnp.where(row_listed, 0, hier[:, g.I_JMAX]))
+    hier = hier.at[:, g.I_VALID].set(
+        jnp.where(row_listed, 0, hier[:, g.I_VALID])
+    )
+    blocks = g.block_bounds(jnp, hier)
+    blocks, supers = g.super_bounds(jnp, blocks)
+    hti, htf = _hbm_flat_inputs(hier, tri_f32)
+    return offsets, prec_i, prec_f, supers, blocks, hti, htf
+
+
+def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     gbuf_refs=None, gbuf_scratch=None,
+                     const_refs=None, const_scratch=None,
+                     depth_only=False):
+    tile_i = pl.program_id(0)
+    tile_j = pl.program_id(1)
+    tiles_x = pl.num_programs(1)
+    row0 = tile_i * TILE_H
+    col0 = tile_j * TILE_W
+
+    half = g.SUBPIXEL // 2
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    py = (row0 + iy) * g.SUBPIXEL + half
+    px = (col0 + ix) * g.SUBPIXEL + half
+
+    zbuf[...] = jnp.full((TILE_H, TILE_W), 1.0, jnp.float32)
+    if not depth_only:
+        tidbuf[...] = jnp.full((TILE_H, TILE_W), _INT_MAX, jnp.int32)
+        nr[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        ng[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        nb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        den[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for buf in (gbuf_scratch or ()) + (const_scratch or ()):
+        buf[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    def eval_at(ibuf, fbuf, ir, il, fr, fl, tid, emask):
+        """Packed-slab evaluation with the (z, id) tie-break; lane bases
+        il/fl are Python ints (static), rows ir/fr dynamic sublanes."""
+        e0 = ibuf[ir, il + g.I_DX0] * (py - ibuf[ir, il + g.I_Y1]) - \
+             ibuf[ir, il + g.I_DY0] * (px - ibuf[ir, il + g.I_X1])
+        e1 = ibuf[ir, il + g.I_DX1] * (py - ibuf[ir, il + g.I_Y2]) - \
+             ibuf[ir, il + g.I_DY1] * (px - ibuf[ir, il + g.I_X2])
+        e2 = ibuf[ir, il + g.I_DX2] * (py - ibuf[ir, il + g.I_Y0]) - \
+             ibuf[ir, il + g.I_DY2] * (px - ibuf[ir, il + g.I_X0])
+        cov = (
+            (e0 >= ibuf[ir, il + g.I_BIAS0])
+            & (e1 >= ibuf[ir, il + g.I_BIAS1])
+            & (e2 >= ibuf[ir, il + g.I_BIAS2])
+        )
+        ef0 = e0.astype(jnp.float32)
+        ef1 = e1.astype(jnp.float32)
+        ef2 = e2.astype(jnp.float32)
+        z = ef0 * fbuf[fr, fl + g.F_ZA0] + ef1 * fbuf[fr, fl + g.F_ZA1] \
+            + ef2 * fbuf[fr, fl + g.F_ZA2]
+        zb = zbuf[...]
+        if depth_only:
+            # On an exact tie every candidate writes the same depth, so
+            # the id plane cannot change the output (see _binned_body).
+            ok = cov & (z >= 0.0) & (z < zb) & emask
+            zbuf[...] = jnp.where(ok, z, zb)
+            return
+        tb = tidbuf[...]
+        ok = cov & (z >= 0.0) & ((z < zb) | ((z == zb) & (tid < tb))) \
+            & emask
+        zbuf[...] = jnp.where(ok, z, zb)
+        tidbuf[...] = jnp.where(ok, tid, tb)
+
+        def latch(buf, c0):
+            buf[...] = jnp.where(
+                ok,
+                ef0 * fbuf[fr, fl + c0] + ef1 * fbuf[fr, fl + c0 + 1]
+                + ef2 * fbuf[fr, fl + c0 + 2],
+                buf[...],
+            )
+
+        latch(den, g.F_RW0)
+        latch(nr, g.F_CR0)
+        latch(ng, g.F_CG0)
+        latch(nb, g.F_CB0)
+        if gbuf_scratch is not None:
+            for buf, c0 in zip(
+                gbuf_scratch,
+                (g.F_U0, g.F_V0, g.F_NX0, g.F_NY0, g.F_NZ0),
+            ):
+                latch(buf, c0)
+        if const_scratch is not None:
+            for buf, col in zip(
+                const_scratch,
+                (g.F_MET, g.F_RGH, g.F_EMR, g.F_EMG, g.F_EMB, g.F_TEX),
+            ):
+                buf[...] = jnp.where(ok, fbuf[fr, fl + col], buf[...])
+
+    # Phase 1: stream this tile's contiguous record span in REC_CHUNK
+    # slabs.  No bbox tests — every in-span record is a guaranteed hit;
+    # only the slab-edge records carry an in-span mask.
+    tile_lin = tile_i * tiles_x + tile_j
+    start = offs_ref[tile_lin]
+    end = offs_ref[tile_lin + 1]
+
+    def window(done):
+        wbase = (done // REC_ALIGN) * REC_ALIGN
+        cp_i = pltpu.make_async_copy(
+            prec_i_hbm.at[pl.ds(wbase // 4, REC_CHUNK // 4), :],
+            rec_ibuf, rec_sems.at[0],
+        )
+        cp_f = pltpu.make_async_copy(
+            prec_f_hbm.at[pl.ds(wbase // 2, REC_CHUNK // 2), :],
+            rec_fbuf, rec_sems.at[1],
+        )
+        cp_i.start()
+        cp_f.start()
+        cp_i.wait()
+        cp_f.wait()
+        lo = done - wbase
+        hi = jnp.minimum(end - wbase, REC_CHUNK)
+
+        def rec8(r2, c):
+            for u in range(8):
+                k = r2 * 8 + u
+                ir = r2 * 2 + u // 4
+                il = (u % 4) * I32_LANES
+                fr = r2 * 4 + u // 2
+                fl = (u % 2) * F32_LANES
+                emask = (k >= lo) & (k < hi)
+                eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
+                        rec_ibuf[ir, il + L_PID], emask)
+            return c
+
+        jax.lax.fori_loop(lo // 8, (hi + 7) // 8, rec8, 0)
+        return wbase + hi
+
+    jax.lax.while_loop(lambda d: d < end, window, start)
+
+    # Phase 2: leftovers through the HBM block hierarchy (same slab
+    # machinery as _hbm_kernel_body, id-aware body).
+    def tile_overlap(jmin, jmax, imin, imax):
+        return (
+            (jmax >= col0)
+            & (jmin < col0 + TILE_W)
+            & (imax >= row0)
+            & (imin < row0 + TILE_H)
+            & (jmin <= jmax)
+            & (imin <= imax)
+        )
+
+    def block_hit(bk):
+        return tile_overlap(
+            blk_ref[bk, 0], blk_ref[bk, 1], blk_ref[bk, 2], blk_ref[bk, 3]
+        )
+
+    def visit_block(bk):
+        rows_i = g.RASTER_BLOCK // 4
+        rows_f = g.RASTER_BLOCK // 2
+        cp_i = pltpu.make_async_copy(
+            ti_hbm.at[pl.ds(bk * rows_i, rows_i), :], ti_buf,
+            dma_sems.at[0],
+        )
+        cp_f = pltpu.make_async_copy(
+            tf_hbm.at[pl.ds(bk * rows_f, rows_f), :], tf_buf,
+            dma_sems.at[1],
+        )
+        cp_i.start()
+        cp_f.start()
+        cp_i.wait()
+        cp_f.wait()
+
+        def unrolled(q, c2):
+            base4 = q * (TRI_UNROLL // 4)
+            hits = []
+            for u in range(TRI_UNROLL):
+                ir = base4 + u // 4
+                il = (u % 4) * I32_LANES
+                hits.append(tile_overlap(
+                    ti_buf[ir, il + g.I_JMIN], ti_buf[ir, il + g.I_JMAX],
+                    ti_buf[ir, il + g.I_IMIN], ti_buf[ir, il + g.I_IMAX],
+                ))
+            any_hit = hits[0]
+            for hb in hits[1:]:
+                any_hit = any_hit | hb
+
+            @pl.when(any_hit)
+            def _():
+                for u in range(TRI_UNROLL):
+                    gid = bk * g.RASTER_BLOCK + q * TRI_UNROLL + u
+                    eval_at(ti_buf, tf_buf,
+                            base4 + u // 4, (u % 4) * I32_LANES,
+                            2 * base4 + u // 2, (u % 2) * F32_LANES,
+                            gid, hits[u])
+
+            return c2
+
+        jax.lax.fori_loop(0, g.RASTER_BLOCK // TRI_UNROLL, unrolled, 0)
+
+    def super_hit(sb):
+        return tile_overlap(
+            sup_ref[sb, 0], sup_ref[sb, 1], sup_ref[sb, 2], sup_ref[sb, 3]
+        )
+
+    def visit_super(sb):
+        _scan_groups(sb * g.SUPER_BLOCK, (sb + 1) * g.SUPER_BLOCK,
+                     block_hit, visit_block)
+
+    _scan_groups(0, sup_ref.shape[0], super_hit, visit_super)
+
+    if depth_only:
+        depth_ref[...] = zbuf[...]
+        return
+
+    d = den[...]
+    covered = d > 0
+    inv = jnp.float32(1.0) / jnp.where(covered, d, jnp.float32(1.0))
+
+    def chan(numer):
+        c = jnp.where(covered, numer * inv, jnp.float32(0.0))
+        c = jnp.clip(c, 0.0, 1.0)
+        q = jnp.floor(c * jnp.float32(255.0) + jnp.float32(0.5))
+        return q.astype(jnp.int32).astype(jnp.uint32)
+
+    a = jnp.full((TILE_H, TILE_W), 255, jnp.uint32)
+    color_ref[...] = (
+        chan(nr[...]) | (chan(ng[...]) << 8) | (chan(nb[...]) << 16)
+        | (a << 24)
+    )
+    depth_ref[...] = zbuf[...]
+    if gbuf_refs is not None:
+        inv_cov = jnp.where(covered, inv, jnp.float32(0.0))
+        for ref, buf in zip(gbuf_refs, gbuf_scratch):
+            ref[...] = buf[...] * inv_cov
+    if const_refs is not None:
+        for ref, buf in zip(const_refs, const_scratch):
+            ref[...] = buf[...]
+
+
+def _binned_hbm_kernel(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                       ti_hbm, tf_hbm, color_ref, depth_ref,
+                       zbuf, tidbuf, nr, ng, nb, den,
+                       rec_ibuf, rec_fbuf, rec_sems,
+                       ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems)
+
+
+def _binned_hbm_gbuffer_kernel(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                               ti_hbm, tf_hbm, color_ref, depth_ref,
+                               u_ref, v_ref, nx_ref, ny_ref, nz_ref,
+                               met_ref, rgh_ref, emr_ref, emg_ref, emb_ref,
+                               tex_ref, zbuf, tidbuf, nr, ng, nb, den,
+                               nu, nv, nnx, nny, nnz,
+                               smet, srgh, semr, semg, semb, stex,
+                               rec_ibuf, rec_fbuf, rec_sems,
+                               ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
+                     gbuf_scratch=(nu, nv, nnx, nny, nnz),
+                     const_refs=(met_ref, rgh_ref, emr_ref, emg_ref,
+                                 emb_ref, tex_ref),
+                     const_scratch=(smet, srgh, semr, semg, semb, stex))
+
+
+def _binned_hbm_depth_kernel(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                             ti_hbm, tf_hbm, depth_ref, zbuf,
+                             rec_ibuf, rec_fbuf, rec_sems,
+                             ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, None, depth_ref,
+                     zbuf, None, None, None, None, None,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     depth_only=True)
+
+
+_REC_SLABS = [
+    pltpu.VMEM((REC_CHUNK // 4, 128), jnp.int32),   # rec_ibuf
+    pltpu.VMEM((REC_CHUNK // 2, 128), jnp.float32),  # rec_fbuf
+    pltpu.SemaphoreType.DMA((2,)),
+]
+
+
+def _binned_hbm_grid_spec(grid, num_outs, extra_scratch):
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # offsets -> SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
+            pl.BlockSpec(memory_space=pl.ANY),  # prec_i (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # prec_f (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # hier ti rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # hier tf rows (HBM)
+        ],
+        out_specs=[tile_spec] * num_outs,
+        scratch_shapes=extra_scratch + _REC_SLABS + list(_HBM_SLABS),
+    )
+
+
+def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
+                                      height: int, interpret: bool = False,
+                                      cap: int | None = None):
+    """Per-tile-list raster at HBM scale (pair-ordered record streaming).
+
+    Same bit-exact contract as rasterize_setup_pallas_binned (oracle
+    LESS == id tie-break), with no VMEM triangle-count ceiling."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offsets, prec_i, prec_f, supers, blocks, hti, htf = \
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+
+    color, depth = _pallas_call(
+        _binned_hbm_kernel,
+        grid_spec=_binned_hbm_grid_spec(
+            grid, 2,
+            [
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(4)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((height, width), jnp.uint32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return color, depth
+
+
+def rasterize_gbuffer_pallas_binned_hbm(tri_i32, tri_f32, width: int,
+                                        height: int,
+                                        interpret: bool = False,
+                                        cap: int | None = None):
+    """Streaming per-tile-list G-buffer — same 13 planes as
+    rasterize_gbuffer_pallas_hbm, no VMEM triangle ceiling."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offsets, prec_i, prec_f, supers, blocks, hti, htf = \
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+
+    plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
+    outs = _pallas_call(
+        _binned_hbm_gbuffer_kernel,
+        grid_spec=_binned_hbm_grid_spec(
+            grid, 13,
+            [
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(15)],
+        ),
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
+        interpret=interpret,
+    )(offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return outs
+
+
+def rasterize_depth_pallas_binned_hbm(tri_i32, tri_f32, width: int,
+                                      height: int, interpret: bool = False,
+                                      cap: int | None = None):
+    """Streaming per-tile-list depth-only raster (shadow pass at scale)."""
+    assert height % TILE_H == 0 and width % TILE_W == 0
+    grid = (height // TILE_H, width // TILE_W)
+    offsets, prec_i, prec_f, supers, blocks, hti, htf = \
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+
+    (depth,) = _pallas_call(
+        _binned_hbm_depth_kernel,
+        grid_spec=_binned_hbm_grid_spec(
+            grid, 1, [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)],
+        interpret=interpret,
+    )(offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return depth
+
+
+# ---------------------------------------------------------------------------
 # Sort-free small-scene binning (the demo-scene fast path)
 # ---------------------------------------------------------------------------
 # The binned kernel beats the hierarchy kernel ~5x on the 120-triangle demo
@@ -1833,14 +2340,18 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     #   CAUTION: un-barrier'd loop-invariant scan benchmarks are
     #   LICM-hoisted by XLA and read reps-times too fast — see
     #   docs/PERFORMANCE.md "Benchmark traps").
-    if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+    if _use_tile_lists(binning, tri_i32.shape[0]):
+        raster = (
+            rasterize_setup_pallas_binned_hbm
+            if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS
+            else rasterize_setup_pallas_binned
+        )
+    elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
         # Single-class full-tile HBM hierarchy kernel — the measured 1M
         # winner (312 ms vs hbm2's 538 ms and scanline's 781 ms,
         # benchmarks/hbm2_ab.py + scanline_ab.py on v5e; the losers live
         # in ops/experiments/).
         raster = rasterize_setup_pallas_hbm
-    elif _use_tile_lists(binning, tri_i32.shape[0]):
-        raster = rasterize_setup_pallas_binned
     elif _use_small_bins(binning, tri_i32.shape[0]):
         raster = rasterize_setup_pallas_small
     else:
