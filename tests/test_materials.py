@@ -188,3 +188,50 @@ def test_oct_sampler_texture_array_layers():
         ref = sampling.sample_trilinear(
             tex.atlas_u32, th, tw, tex.num_levels, uv, lod)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pvar_sampler_matches_oct_and_reference():
+    """The 8-lane parent-variant trilinear (anchor offset folded into the
+    gather index, build_pvar_atlas) equals both the oct sampler and the
+    8-gather reference bit-for-bit."""
+    import jax.numpy as jnp
+    from zrenderer_tpu.engine.textures import Texture, checkerboard
+    from zrenderer_tpu.ops import sampling
+
+    tex = Texture.from_array(checkerboard(64))
+    th, tw = tex.base_shape
+    rng = np.random.default_rng(11)
+    uv = jnp.asarray(rng.uniform(0, 1, (33, 57, 2)).astype(np.float32))
+    lod = jnp.asarray(
+        rng.uniform(0, tex.num_levels - 1, (33, 57)).astype(np.float32))
+    ref = sampling.sample_trilinear(tex.atlas_u32, th, tw, tex.num_levels,
+                                    uv, lod)
+    oct_ = sampling.sample_trilinear_oct(tex.oct_atlas_u32, th, tw,
+                                         tex.num_levels, uv, lod)
+    pvar = sampling.sample_trilinear_pvar(tex.pvar_atlas_u32, th, tw,
+                                          tex.num_levels, uv, lod)
+    np.testing.assert_array_equal(np.asarray(pvar), np.asarray(oct_))
+    np.testing.assert_array_equal(np.asarray(pvar), np.asarray(ref))
+
+
+def test_pvar_sampler_texture_array_layers():
+    import jax.numpy as jnp
+    from zrenderer_tpu.engine.textures import Texture, TextureArray, checkerboard
+    from zrenderer_tpu.ops import sampling
+
+    red = Texture.from_array(checkerboard(32, color_a=(1, 0, 0)))
+    blue = Texture.from_array(checkerboard(32, color_a=(0, 0, 1)))
+    arr = TextureArray.from_textures([red, blue])
+    th, tw = arr.base_shape
+    rng = np.random.default_rng(5)
+    uv = jnp.asarray(rng.uniform(0, 1, (8, 16, 2)).astype(np.float32))
+    lod = jnp.asarray(
+        rng.uniform(0, arr.num_levels - 1, (8, 16)).astype(np.float32))
+    for layer_idx, tex in ((0, red), (1, blue)):
+        layer = jnp.full((8, 16), layer_idx, jnp.int32)
+        got = sampling.sample_trilinear_pvar(
+            arr.pvar_atlas_u32, th, tw, arr.num_levels, uv, lod,
+            layer=layer)
+        ref = sampling.sample_trilinear(
+            tex.atlas_u32, th, tw, tex.num_levels, uv, lod)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

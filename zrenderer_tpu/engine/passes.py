@@ -90,12 +90,19 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
     uv = jnp.stack([u, v], axis=-1)
     lod = sampling.mip_level_from_derivatives(uv, th, tw, levels)
     layer = tex_layer.astype(jnp.int32) if layered else None
-    # Oct-atlas sampler: ONE gather per pixel for full trilinear (both mip
-    # levels' taps ride one 16-lane row) — per-index gather cost made the
-    # 8-gather path 131 ms and the 2-gather quad path ~12 ms at 1080p.
-    tex = sampling.sample_trilinear_oct(
-        tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
-    )
+    # Single-gather trilinear (per-index gather cost made the 8-gather
+    # path 131 ms and the 2-gather quad path ~12 ms at 1080p).  A 32-lane
+    # atlas is the parent-variant form (8 gathered lanes — halves the
+    # post-gather relayout vs the 16-lane oct row and drops the 3x3
+    # selection masks, bit-identical taps); 16-lane is the oct fallback.
+    if tex_atlas_u32.shape[-1] == 32:
+        tex = sampling.sample_trilinear_pvar(
+            tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
+        )
+    else:
+        tex = sampling.sample_trilinear_oct(
+            tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
+        )
     return (rgba[..., :3].astype(jnp.float32) / 255.0) * tex[..., :3]
 
 

@@ -456,7 +456,7 @@ class Renderer:
                 c["matrices"], c["normal_mats"], c["inv_view_proj"] = staged
                 if pipeline == "lit":
                     color, depth = frame(
-                        b, self.texture.oct_atlas_u32, c["matrices"],
+                        b, self.texture.pvar_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         self.light_pos, self.light_color,
                     )
@@ -468,7 +468,7 @@ class Renderer:
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)
                     color, depth, self._shadow_map = frame(
-                        b, self.texture.oct_atlas_u32, c["matrices"],
+                        b, self.texture.pvar_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         light_matrices, light_vp, self.light_dir,
                         self.light_color,
@@ -824,13 +824,13 @@ class Renderer:
                     color, depth = frame(*self._geom_args(b), x["matrices"])
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.pvar_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.pvar_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         x["light_matrices"], x["light_vp"], self.light_dir,
                         self.light_color,
@@ -861,13 +861,13 @@ class Renderer:
                                          last["matrices"])
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.oct_atlas_u32, last["matrices"],
+                        b, tex.pvar_atlas_u32, last["matrices"],
                         last["normal_mats"], last["inv_view_proj"],
                         last["cam_pos"], self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.oct_atlas_u32, last["matrices"],
+                        b, tex.pvar_atlas_u32, last["matrices"],
                         last["normal_mats"], last["inv_view_proj"],
                         last["cam_pos"], last["light_matrices"],
                         last["light_vp"], self.light_dir, self.light_color,

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from zrenderer_tpu.ops.mipmap import generate_mip_chain, pack_mip_atlas
-from zrenderer_tpu.ops.sampling import (build_oct_atlas, build_quad_atlas,
-                                         pack_texels_u32)
+from zrenderer_tpu.ops.sampling import (build_oct_atlas, build_pvar_atlas,
+                                         build_quad_atlas, pack_texels_u32)
 
 
 @dataclass
@@ -27,6 +27,7 @@ class Texture:
     atlas_u32: jax.Array  # (h, 2w) uint32 RGBA8-packed (the sampler's view)
     quad_atlas_u32: jax.Array  # (h, 2w, 4) u32 2x2 neighborhoods (1-gather bilinear)
     oct_atlas_u32: jax.Array  # (h, 2w, 16) u32 quad + parent 3x3 (1-gather trilinear)
+    pvar_atlas_u32: jax.Array  # (h, 2w, 32) u32 4x(quad + selected parent quad)
     offsets: jax.Array  # (L,) i32 per-level x offsets
     sizes: jax.Array  # (L, 2) i32 per-level (h, w)
     num_levels: int
@@ -51,6 +52,8 @@ class Texture:
             quad_atlas_u32=build_quad_atlas(
                 atlas_u32, img.shape[0], img.shape[1], len(chain)),
             oct_atlas_u32=build_oct_atlas(
+                atlas_u32, img.shape[0], img.shape[1], len(chain)),
+            pvar_atlas_u32=build_pvar_atlas(
                 atlas_u32, img.shape[0], img.shape[1], len(chain)),
             offsets=offsets,
             sizes=sizes,
@@ -87,6 +90,7 @@ class TextureArray:
     atlas_u32: jax.Array  # (L*h, 2w) uint32 RGBA8-packed
     quad_atlas_u32: jax.Array  # (L*h, 2w, 4) u32 (per-layer wrap-correct)
     oct_atlas_u32: jax.Array  # (L*h, 2w, 16) u32 (per-layer wrap-correct)
+    pvar_atlas_u32: jax.Array  # (L*h, 2w, 32) u32 (per-layer wrap-correct)
     num_levels: int
     base_shape: tuple  # (h, w) of one layer
     num_layers: int
@@ -105,10 +109,12 @@ class TextureArray:
         atlas = jnp.concatenate([t.atlas_u32 for t in textures], axis=0)
         quad = jnp.concatenate([t.quad_atlas_u32 for t in textures], axis=0)
         octa = jnp.concatenate([t.oct_atlas_u32 for t in textures], axis=0)
+        pvar = jnp.concatenate([t.pvar_atlas_u32 for t in textures], axis=0)
         return cls(
             atlas_u32=atlas,
             quad_atlas_u32=quad,
             oct_atlas_u32=octa,
+            pvar_atlas_u32=pvar,
             num_levels=base.num_levels,
             base_shape=tuple(base.base_shape),
             num_layers=len(textures),

@@ -209,6 +209,119 @@ def build_oct_atlas(atlas_u32, base_h: int, base_w: int, num_levels: int):
     return oct_
 
 
+def build_pvar_atlas(atlas_u32, base_h: int, base_w: int, num_levels: int):
+    """Parent-VARIANT atlas: per texel, 4 rows of 8 lanes — one row per
+    (dy, dx) parent-anchor offset, each holding the texel's own 2x2 quad
+    (lanes 0-3) plus the parent 2x2 ALREADY SELECTED for that offset
+    (lanes 4-7).  Returns (h, 2w, 32) u32 (variants x lanes flattened).
+
+    Why (round-4 lit profile, v5e): sample_trilinear_oct's 16-lane
+    gather output needs a {2,1,0}->{1,0,2} relayout copy before the
+    blend math — 265 MB at 1080p = 1.66 ms/frame of pure data
+    formatting (copy.1798), plus ~9 masked-select passes for the 3x3 ->
+    2x2 parent tap selection.  The anchor offset (dy, dx) is computable
+    from index math ALONE (no tap values), so folding it into the gather
+    index halves the gathered/relayouted bytes and deletes the selection
+    masks entirely.  Taps and weight formulas are unchanged —
+    bit-identical to sample_trilinear_oct/quad (tested).  Cost: 2x atlas
+    memory vs the oct atlas (the fine quad is replicated per variant).
+    """
+    h, w2 = atlas_u32.shape
+    pvar = jnp.zeros((h, w2, 32), jnp.uint32)
+    for level in range(num_levels):
+        lw = max(base_w >> level, 1)
+        lh = max(base_h >> level, 1)
+        off = 0 if level == 0 else 2 * base_w - max(base_w >> (level - 1), 1)
+        region = atlas_u32[0:lh, off:off + lw]
+        right = jnp.roll(region, -1, axis=1)
+        down = jnp.roll(region, -1, axis=0)
+        diag = jnp.roll(right, -1, axis=0)
+        own = [region, right, down, diag]
+
+        pl = min(level + 1, num_levels - 1)
+        pw = max(base_w >> pl, 1)
+        ph = max(base_h >> pl, 1)
+        poff = 0 if pl == 0 else 2 * base_w - max(base_w >> (pl - 1), 1)
+        parent = atlas_u32[0:ph, poff:poff + pw]
+        bx = (np.arange(lw) - 1) >> 1
+        by = (np.arange(lh) - 1) >> 1
+        taps = []
+        for j in range(3):
+            ry = np.mod(by + j, ph)
+            for i in range(3):
+                rx = np.mod(bx + i, pw)
+                taps.append(parent[jnp.asarray(ry)][:, jnp.asarray(rx)])
+        lanes = []
+        for dy in range(2):
+            for dx in range(2):
+                lanes += own + [
+                    taps[(dy + jj) * 3 + (dx + ii)]
+                    for jj, ii in ((0, 0), (0, 1), (1, 0), (1, 1))
+                ]
+        q = jnp.stack(lanes, axis=-1)  # (lh, lw, 32)
+        pvar = pvar.at[0:lh, off:off + lw].set(q)
+    return pvar
+
+
+def sample_trilinear_pvar(pvar_atlas, base_h: int, base_w: int,
+                          num_levels: int, uv, lod, layer=None):
+    """Trilinear with ONE 8-lane gather via the parent-variant atlas
+    (build_pvar_atlas).  The parent-anchor offset (dy, dx) folds into
+    the gather index, so the row carries exactly the 8 needed taps.
+    Bit-identical to sample_trilinear_oct (same taps, same weight
+    formulas, same lerp order)."""
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    f = (lod - l0.astype(jnp.float32))[..., None]
+
+    lh, lw, off_x = _mip_geometry(base_h, base_w, l0)
+    ph, pw, _ = _mip_geometry(base_h, base_w, l1)
+    w2 = pvar_atlas.shape[1]
+    x = uv[..., 0] * lw.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * lh.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    row0 = 0 if layer is None else layer * jnp.int32(base_h)
+    ix = _wrap(x0, lw)
+    iy = _wrap(y0, lh) + row0
+
+    xp = uv[..., 0] * pw.astype(jnp.float32) - 0.5
+    yp = uv[..., 1] * ph.astype(jnp.float32) - 0.5
+    qx = jnp.floor(xp).astype(jnp.int32)
+    qy = jnp.floor(yp).astype(jnp.int32)
+    fxp = (xp - qx.astype(jnp.float32))[..., None]
+    fyp = (yp - qy.astype(jnp.float32))[..., None]
+    # Same anchor-offset formula as sample_trilinear_oct's ptap — but
+    # evaluated BEFORE the gather, as part of the index.
+    dx = jnp.clip(qx - ((x0 - 1) >> 1), 0, 1)
+    dy = jnp.clip(qy - ((y0 - 1) >> 1), 0, 1)
+
+    rows = jnp.take(
+        pvar_atlas.reshape(-1, 8),
+        (iy * w2 + (ix + off_x)) * 4 + dy * 2 + dx,
+        axis=0,
+    )
+
+    c00 = _unpack_u32(rows[..., 0])
+    c10 = _unpack_u32(rows[..., 1])
+    c01 = _unpack_u32(rows[..., 2])
+    c11 = _unpack_u32(rows[..., 3])
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    c0 = top * (1 - fy) + bot * fy
+
+    p00 = _unpack_u32(rows[..., 4])
+    p10 = _unpack_u32(rows[..., 5])
+    p01 = _unpack_u32(rows[..., 6])
+    p11 = _unpack_u32(rows[..., 7])
+    topp = p00 * (1 - fxp) + p10 * fxp
+    botp = p01 * (1 - fxp) + p11 * fxp
+    c1 = topp * (1 - fyp) + botp * fyp
+    return c0 * (1 - f) + c1 * f
+
+
 def _unpack_u32(texel):
     inv255 = jnp.float32(1.0 / 255.0)
     return jnp.stack(
