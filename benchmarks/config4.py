@@ -32,7 +32,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from zrenderer_tpu.engine.upload import flatten_scene
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
     from zrenderer_tpu.ops import geometry as g
     from zrenderer_tpu.ops import raster_pallas as rp
     from zrenderer_tpu.ops import taa
@@ -41,22 +42,22 @@ def main() -> int:
     W, H = 1920, 1080
     PW, PH = 1920, 1088  # tile-padded raster target
     scene, mesh_data = make_stress_scene(tris)
-    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
-    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    # PRODUCTION geometry path: the column per-corner buffers the engine
+    # uploads at load (geometry_pipeline_cols, ~50 ms at 1M on v5e) —
+    # the first recorded config-4 number (597 ms, 2026-08-21) ran the
+    # legacy row-mode geometry (~207 ms) by mistake.
+    r = Renderer(RenderConfig(width=W, height=H))
+    r.load_scene(scene, mesh_data)
+    b = r._buffers()
+    ccols, tri_node = b["corner_cols"], b["tri_node"]
     jitters = taa.jitter_sequence(8)
-    mats = np.stack([
-        np.einsum("nij,jk->nik",
-                  flat.node_to_world, taa.jittered_view_proj(vp, j, W, H))
-        for j in (jitters[k % 8] for k in range(frames))
-    ]).astype(np.float32)
-    mats = jnp.asarray(mats)
-    pos = jnp.asarray(flat.positions)
-    attrs = jnp.asarray(flat.attrs)
-    tvi = jnp.asarray(flat.tri_vidx)
-    vnode = jnp.asarray(flat.vert_node)
+    mats = jnp.asarray(np.stack([
+        r.camera_matrices(jitter=jitters[k % 8]) for k in range(frames)
+    ]).astype(np.float32))
 
     def frame(m):
-        ti, tf = g.geometry_pipeline(jnp, pos, attrs, tvi, m, vnode, W, H)
+        ti, tf = g.geometry_pipeline(jnp, ccols, None, None, m, tri_node,
+                                     W, H)
         color, depth = rp.rasterize_setup_pallas_hbm(
             ti, tf, PW, PH, compact=False)
         rgba = rp.unpack_rgba8(color[:H, :W])

@@ -135,3 +135,18 @@ def test_binned_hbm_demo_scene_matches_hierarchy():
         ti, tf, 128, 32, interpret=True)
     _assert_same(d_s, d_h)
     _assert_same(c_s, c_h)
+
+
+def test_binned_hbm_budget_clamp_demotes_exactly(monkeypatch):
+    """With a tiny record budget, overflow triangles must demote to the
+    phase-2 hierarchy and the image must not change."""
+    ti, tf, W, H = _mixed_soup()
+    c_ref, d_ref = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4)
+    monkeypatch.setattr(rp, "HBM_PAIR_BUDGET", 256)
+    offsets, *_ = rp.prepare_binned_hbm_inputs(ti, tf, W, H, cap=4)
+    assert int(np.asarray(offsets)[-1]) <= 256, "clamp must bound pairs"
+    c_c, d_c = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4)
+    _assert_same(d_c, d_ref)
+    _assert_same(c_c, c_ref)

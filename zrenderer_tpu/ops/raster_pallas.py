@@ -1612,6 +1612,13 @@ def rasterize_depth_pallas_binned(tri_i32, tri_f32, width: int, height: int,
 REC_CHUNK = 512   # records per streamed slab (i-slab 128 rows, f-slab 256)
 REC_ALIGN = 256   # slab base alignment in records (8-sublane-safe rows)
 L_PID = g.NI32    # spare int lane carrying the triangle id (tie-break)
+# Static record-slot budget for the pair-ordered gather: the gather pays
+# per STATIC row (measured 15.1 ms per 1M 512-B rows, 46.2 ms at 4M —
+# benchmarks/sort_scale_probe.py), so the prepare gathers only this many
+# sorted slots and exactly demotes overflow triangles to the hierarchy
+# via a prefix-sum clamp (valid pairs sort to the front; sentinels never
+# need records).
+HBM_PAIR_BUDGET = 1 << 20
 
 
 def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
@@ -1652,6 +1659,14 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
     nty = ty1 - ty0 + 1
     foot = ntx * nty
     listed = valid & (foot <= cap)
+    # Exact budget clamp: keep the longest PREFIX of listed triangles
+    # whose cumulative pair count fits the static record budget; the
+    # demoted tail renders through the phase-2 hierarchy (graceful, and
+    # the kernel never reads a record slot the gather didn't fill).
+    k_budget = min(HBM_PAIR_BUDGET, n_input * cap)
+    listed = listed & (
+        jnp.cumsum(jnp.where(listed, foot, 0), dtype=jnp.int32) <= k_budget
+    )
 
     keys = []
     for e in range(cap):
@@ -1681,17 +1696,31 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
             sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
 
-    # Pad so any REC_ALIGN-based window DMA stays in bounds, then gather
-    # the pair-ordered packed records (id in lane L_PID).
-    pad_p = (-p0) % REC_ALIGN + REC_CHUNK
-    sorted_tri = jnp.concatenate([sorted_tri, jnp.zeros(pad_p, jnp.int32)])
-    p = p0 + pad_p
-    pi = jnp.pad(tri_i32, ((0, 0), (0, I32_LANES - g.NI32)))
-    pf = jnp.pad(tri_f32, ((0, 0), (0, F32_LANES - g.NF32)))
-    prec_i = pi[sorted_tri].at[:, L_PID].set(sorted_tri)
-    prec_f = pf[sorted_tri]
-    prec_i = prec_i.reshape(p // 4, 4 * I32_LANES)
-    prec_f = prec_f.reshape(p // 2, 2 * F32_LANES)
+    # Valid pairs sort to the front (sentinel keys are num_tiles), and
+    # the budget clamp guarantees there are at most k_budget of them —
+    # so only k_budget slots (plus DMA margin) ever need records.  ONE
+    # combined gather (ints + bitcast floats in a 96-lane row) instead
+    # of two: the gather pays per row, not per byte.
+    pad_p = (-k_budget) % REC_ALIGN + REC_CHUNK
+    p = k_budget + pad_p
+    sorted_tri = jnp.concatenate(
+        [sorted_tri[:k_budget], jnp.zeros(pad_p, jnp.int32)]
+    )
+    comb = jnp.concatenate(
+        [
+            jnp.pad(tri_i32, ((0, 0), (0, I32_LANES - g.NI32))),
+            jax.lax.bitcast_convert_type(
+                jnp.pad(tri_f32, ((0, 0), (0, F32_LANES - g.NF32))),
+                jnp.int32,
+            ),
+        ],
+        axis=1,
+    )  # (T, 96) i32
+    crec = comb[sorted_tri].at[:, L_PID].set(sorted_tri)
+    prec_i = crec[:, :I32_LANES].reshape(p // 4, 4 * I32_LANES)
+    prec_f = jax.lax.bitcast_convert_type(
+        crec[:, I32_LANES:], jnp.float32
+    ).reshape(p // 2, 2 * F32_LANES)
 
     # Leftover hierarchy: empty listed rows so the block tables skip them.
     row_listed = jnp.concatenate(
