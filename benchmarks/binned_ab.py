@@ -51,13 +51,19 @@ def main() -> int:
     b = r._buffers()
     mats = jnp.asarray(r.camera_matrices())
 
-    ti, tf = g.geometry_pipeline(
-        jnp, b["corner_cols"], None, None, mats, b["tri_node"], W, H)
-    ti, tf = jax.block_until_ready(jax.device_put((ti, tf)))
+    # Jit the setup: eager op-by-op dispatch pays ~35 ms tunnel latency
+    # PER OP through axon — hundreds of geometry/prepare ops took tens of
+    # minutes before any timed stage started.
+    ti, tf = jax.jit(
+        lambda cc, m, tn: g.geometry_pipeline(jnp, cc, None, None, m, tn,
+                                              W, H)
+    )(b["corner_cols"], mats, b["tri_node"])
+    ti, tf = jax.block_until_ready((ti, tf))
     eff_cap = cap if cap is not None else rp.bin_cap_for(
         g.head_count(ti.shape[0]))
-    offs = np.asarray(rp.prepare_binned_hbm_inputs(
-        ti, tf, W, H, cap=cap)[0])
+    offs = np.asarray(jax.jit(
+        lambda a, c: rp.prepare_binned_hbm_inputs(a, c, W, H, cap=cap)[0]
+    )(ti, tf))
     print(f"tris={ti.shape[0]} alive={int((np.asarray(ti[:, g.I_VALID]) > 0).sum())} "
           f"cap={eff_cap} listed_pairs={offs[-1]} "
           f"max_span={np.diff(offs).max()}", flush=True)
