@@ -320,6 +320,124 @@ def clip_triangles(xp, tris, width: int, height: int):
     return fan, fan_valid
 
 
+def clip_triangles_cols(xp, sub_cols, width: int, height: int):
+    """Column (SoA) Sutherland-Hodgman — bit-identical to clip_triangles.
+
+    ``sub_cols[c][k]``: channel k of corner c as a (cap,) vector.  Returns
+    (fan_cols, fan_valid): fan_cols[c][k] a (FAN_SLOTS*cap,) vector in the
+    same slot-major order as clip_triangles' output, fan_valid
+    (FAN_SLOTS*cap,) bool.
+
+    Why (round-4 geometry trace, v5e): the AoS clipper's per-plane
+    take_along_axis + positional scatter over (cap, 8, 16) cost ~20 ms of
+    the 45 ms 1M-triangle geometry stage — gather/scatter custom calls on
+    16-lane-minor shapes.  Here the polygon state is 16 channel arrays of
+    (V, cap) (slots in sublanes, triangles in lanes) and both the
+    next-vertex lookup and the compaction scatter become chains of
+    row-level selects with STATIC row indices — pure elementwise work, no
+    gathers.  Every arithmetic expression, association, `_ob` barrier, and
+    select disjointness matches the AoS form, so results are bitwise
+    equal (tested).
+    """
+    V = CLIP_MAX_VERTS
+    A = ATTR_FLOATS
+    cap = sub_cols[0][0].shape[0]
+    f32 = xp.float32
+    i32 = xp.int32
+    gx = f32(1.0 + 2.0 * guard_px(width) / float(width))
+    gy = f32(1.0 + 2.0 * guard_px(height) / float(height))
+
+    ch = [
+        xp.concatenate(
+            [
+                xp.stack([sub_cols[0][k], sub_cols[1][k], sub_cols[2][k]],
+                         axis=0),
+                xp.zeros((V - 3, cap), f32),
+            ],
+            axis=0,
+        )
+        for k in range(A)
+    ]
+    counts = xp.full((cap,), 3, i32)
+
+    def nxt_rows(arr):
+        # Row j's cyclic successor: vertex j+1, or vertex 0 when j is the
+        # last valid slot — static row slices + one select per row.
+        return xp.stack(
+            [
+                xp.where(counts <= j + 1, arr[0], arr[(j + 1) % V])
+                for j in range(V)
+            ],
+            axis=0,
+        )
+
+    slot_idx = np.arange(V)[:, None]
+    for plane in range(5):
+        x, y, z, w = ch[0], ch[1], ch[2], ch[3]
+        if plane == 0:
+            d = z
+        elif plane == 1:
+            d = _ob(xp, gx * w) - x
+        elif plane == 2:
+            d = _ob(xp, gx * w) + x
+        elif plane == 3:
+            d = _ob(xp, gy * w) - y
+        else:
+            d = _ob(xp, gy * w) + y
+        d = d.astype(f32)
+        in_poly = slot_idx < counts[None, :]
+        d_nxt = nxt_rows(d)
+        keep = (d >= 0) & in_poly
+        cross = ((d >= 0) != (d_nxt >= 0)) & in_poly
+        denom = d - d_nxt
+        safe = xp.where(denom == 0, f32(1.0), denom)
+        t = (d / safe).astype(f32)
+
+        emit0 = keep.astype(i32)
+        emit1 = cross.astype(i32)
+        total = emit0 + emit1
+        ends = xp.cumsum(total, axis=0)
+        starts = ends - total
+        tgt0 = xp.where(keep, starts, V)
+        tgt1 = xp.where(cross, starts + emit0, V)
+        new_counts = ends[-1]
+
+        # Destination masks, shared across channels.  Prefix sums only
+        # shrink positions, so out slot k receives tgt0 from j >= k and
+        # tgt1 (one past a kept vertex) from j >= k-1.
+        m0 = {(j, k): tgt0[j] == k
+              for k in range(V) for j in range(k, V)}
+        m1 = {(j, k): tgt1[j] == k
+              for k in range(V) for j in range(max(0, k - 1), V)}
+
+        new_ch = []
+        for arr in ch:
+            v_nxt = nxt_rows(arr)
+            v_is = (arr + _ob(xp, t * (v_nxt - arr))).astype(f32)
+            rows = []
+            for k in range(V):
+                acc = xp.zeros((cap,), f32)
+                for j in range(max(0, k - 1), V):
+                    if j >= k:
+                        acc = xp.where(m0[(j, k)], arr[j], acc)
+                    acc = xp.where(m1[(j, k)], v_is[j], acc)
+                rows.append(acc)
+            new_ch.append(xp.stack(rows, axis=0))
+        ch = new_ch
+        counts = new_counts.astype(i32)
+
+    fan_cols = [[None] * A for _ in range(3)]
+    for k in range(A):
+        fan_cols[0][k] = xp.concatenate([ch[k][0]] * FAN_SLOTS)
+        fan_cols[1][k] = xp.concatenate(
+            [ch[k][min(j + 1, V - 1)] for j in range(FAN_SLOTS)])
+        fan_cols[2][k] = xp.concatenate(
+            [ch[k][min(j + 2, V - 1)] for j in range(FAN_SLOTS)])
+    fan_valid = xp.concatenate(
+        [counts >= j + 3 for j in range(FAN_SLOTS)])
+    return fan_cols, fan_valid
+
+
 CLIP_CAP_MIN = 1024
 
 
@@ -823,23 +941,20 @@ def geometry_pipeline_cols(xp, ccols, tri_node, matrices,
         live = j_ < c_[-1]
         idx = xp.where(live, xp.minimum(idx, t - 1), 0)
 
-    # Subset rows as a small AoS block for the (unchanged) dense clipper.
-    sub = xp.stack(
-        [
-            xp.stack([cols[c][j][idx] for j in range(ATTR_FLOATS)], axis=-1)
-            for c in range(3)
-        ],
-        axis=1,
-    )  # (cap, 3, ATTR_FLOATS)
-    fan_s, valid_s = clip_triangles(xp, sub, width, height)
+    # Subset columns feed the SoA clipper (bit-identical to the AoS
+    # clip_triangles; see clip_triangles_cols for the layout rationale).
+    sub_cols = [
+        [cols[c][j][idx] for j in range(ATTR_FLOATS)] for c in range(3)
+    ]
+    fan_cols, valid_s = clip_triangles_cols(xp, sub_cols, width, height)
     valid_s = valid_s & xp.tile(live, FAN_SLOTS)
     valid = xp.concatenate([slot0_valid, valid_s])
 
     # Row r's channel columns: slot-0 part is the original (T,) vectors,
-    # the subset fan is column slices of the small fan_s block.
+    # the subset fan is the clipper's column output.
     fcols = [
         [
-            xp.concatenate([cols[c][j], fan_s[:, c, j]])
+            xp.concatenate([cols[c][j], fan_cols[c][j]])
             for j in range(ATTR_FLOATS)
         ]
         for c in range(3)
