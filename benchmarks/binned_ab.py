@@ -33,6 +33,7 @@ def main() -> int:
     cap = None
     if "--cap" in sys.argv:
         cap = int(sys.argv[sys.argv.index("--cap") + 1])
+    gbuffer = "--gbuffer" in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -87,10 +88,15 @@ def main() -> int:
               flush=True)
         return best
 
-    call_h = lambda a, c: rp.rasterize_setup_pallas_hbm(
-        a, c, W, H, compact=False)
-    call_b = lambda a, c: rp.rasterize_setup_pallas_binned_hbm(
-        a, c, W, H, cap=cap)
+    if gbuffer:
+        call_h = lambda a, c: rp.rasterize_gbuffer_pallas_hbm(a, c, W, H)[:2]
+        call_b = lambda a, c: rp.rasterize_gbuffer_pallas_binned_hbm(
+            a, c, W, H, cap=cap)[:2]
+    else:
+        call_h = lambda a, c: rp.rasterize_setup_pallas_hbm(
+            a, c, W, H, compact=False)
+        call_b = lambda a, c: rp.rasterize_setup_pallas_binned_hbm(
+            a, c, W, H, cap=cap)
 
     def scan_digest(call):
         @jax.jit

@@ -58,8 +58,10 @@ def main() -> int:
     def frame(m):
         ti, tf = g.geometry_pipeline(jnp, ccols, None, None, m, tri_node,
                                      W, H)
-        color, depth = rp.rasterize_setup_pallas_hbm(
-            ti, tf, PW, PH, compact=False)
+        # Production large-scene default: the record-streaming binned
+        # kernel (111.8 vs hbm1's 315.5 ms at 1M, benchmarks/binned_ab).
+        color, depth = rp.rasterize_setup_pallas_binned_hbm(
+            ti, tf, PW, PH)
         rgba = rp.unpack_rgba8(color[:H, :W])
         return rgba, depth
 

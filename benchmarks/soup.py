@@ -29,6 +29,14 @@ def main() -> int:
     frames = 10
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    cap = None
+    if "--cap" in sys.argv:
+        cap = int(sys.argv[sys.argv.index("--cap") + 1])
+    only = None
+    if "--only" in sys.argv:
+        # e.g. --only tile_lists: skip the hierarchy run (at 1M soup the
+        # hierarchy frame is minutes long and trips the device watchdog).
+        only = sys.argv[sys.argv.index("--only") + 1]
 
     import jax
     import jax.numpy as jnp
@@ -82,13 +90,19 @@ def main() -> int:
         # Past the VMEM-resident bound: hierarchy streams from HBM and
         # tile_lists streams pair-ordered records (the VMEM binned
         # kernel cannot compile here — whole-VMEM ti/tf operands).
-        variants = [("hierarchy", rp.rasterize_setup_pallas_hbm),
-                    ("tile_lists", rp.rasterize_setup_pallas_binned_hbm)]
+        variants = [
+            ("hierarchy", rp.rasterize_setup_pallas_hbm),
+            ("tile_lists",
+             lambda a, c, w, h: rp.rasterize_setup_pallas_binned_hbm(
+                 a, c, w, h, cap=cap)),
+        ]
     else:
         variants = [("hierarchy", rp.rasterize_setup_pallas),
                     ("tile_lists", rp.rasterize_setup_pallas_binned)]
     if g.head_count(n_rows) <= rp.SMALL_BIN_MAX_ROWS:
         variants.append(("small", rp.rasterize_setup_pallas_small))
+    if only is not None:
+        variants = [v for v in variants if v[0] == only]
     for name, fn in variants:
         ms, digest = run_for(fn)
         results[name] = (ms, digest)

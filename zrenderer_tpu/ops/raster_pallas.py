@@ -2376,11 +2376,17 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
             else rasterize_setup_pallas_binned
         )
     elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
-        # Single-class full-tile HBM hierarchy kernel — the measured 1M
-        # winner (312 ms vs hbm2's 538 ms and scanline's 781 ms,
-        # benchmarks/hbm2_ab.py + scanline_ab.py on v5e; the losers live
-        # in ops/experiments/).
-        raster = rasterize_setup_pallas_hbm
+        # Large-scene default: the pair-ordered record-streaming binned
+        # kernel — 111.8 ms vs the hbm1 hierarchy's 315.5 ms at the 1M
+        # lattice (2.82x, bit-equal, benchmarks/binned_ab.py on v5e,
+        # 2026-08-21), and the hierarchy's per-tile block scan is
+        # catastrophic on incoherent soups (watchdog-killed at a 1M
+        # soup).  binning="hierarchy" keeps the old kernel reachable.
+        raster = (
+            rasterize_setup_pallas_hbm
+            if binning == "hierarchy"
+            else rasterize_setup_pallas_binned_hbm
+        )
     elif _use_small_bins(binning, tri_i32.shape[0]):
         raster = rasterize_setup_pallas_small
     else:
