@@ -32,6 +32,9 @@ def main() -> int:
     cap = None
     if "--cap" in sys.argv:
         cap = int(sys.argv[sys.argv.index("--cap") + 1])
+    budget = None
+    if "--budget" in sys.argv:
+        budget = int(sys.argv[sys.argv.index("--budget") + 1])
     only = None
     if "--only" in sys.argv:
         # e.g. --only tile_lists: skip the hierarchy run (at 1M soup the
@@ -94,7 +97,7 @@ def main() -> int:
             ("hierarchy", rp.rasterize_setup_pallas_hbm),
             ("tile_lists",
              lambda a, c, w, h: rp.rasterize_setup_pallas_binned_hbm(
-                 a, c, w, h, cap=cap)),
+                 a, c, w, h, cap=cap, pair_budget=budget)),
         ]
     else:
         variants = [("hierarchy", rp.rasterize_setup_pallas),

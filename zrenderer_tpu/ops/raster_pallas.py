@@ -1622,7 +1622,8 @@ HBM_PAIR_BUDGET = 1 << 20
 
 
 def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
-                              cap: int | None = None):
+                              cap: int | None = None,
+                              pair_budget: int | None = None):
     """Pair build + value-sort + record gather for the streaming binned
     kernel.  Returns (offsets, prec_i, prec_f, supers, blocks, hti, htf):
     offsets (NUM_TILES+1,) i32 span boundaries in RECORDS; prec_i
@@ -1663,7 +1664,9 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
     # whose cumulative pair count fits the static record budget; the
     # demoted tail renders through the phase-2 hierarchy (graceful, and
     # the kernel never reads a record slot the gather didn't fill).
-    k_budget = min(HBM_PAIR_BUDGET, n_input * cap)
+    if pair_budget is None:
+        pair_budget = HBM_PAIR_BUDGET
+    k_budget = min(pair_budget, n_input * cap)
     listed = listed & (
         jnp.cumsum(jnp.where(listed, foot, 0), dtype=jnp.int32) <= k_budget
     )
@@ -2037,7 +2040,8 @@ def _binned_hbm_grid_spec(grid, num_outs, extra_scratch):
 
 def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                       height: int, interpret: bool = False,
-                                      cap: int | None = None):
+                                      cap: int | None = None,
+                                      pair_budget: int | None = None):
     """Per-tile-list raster at HBM scale (pair-ordered record streaming).
 
     Same bit-exact contract as rasterize_setup_pallas_binned (oracle
@@ -2045,7 +2049,8 @@ def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
-        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
+                                  pair_budget=pair_budget)
 
     color, depth = _pallas_call(
         _binned_hbm_kernel,
@@ -2069,13 +2074,15 @@ def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
 def rasterize_gbuffer_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                         height: int,
                                         interpret: bool = False,
-                                        cap: int | None = None):
+                                        cap: int | None = None,
+                                        pair_budget: int | None = None):
     """Streaming per-tile-list G-buffer — same 13 planes as
     rasterize_gbuffer_pallas_hbm, no VMEM triangle ceiling."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
-        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
+                                  pair_budget=pair_budget)
 
     plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
     outs = _pallas_call(
@@ -2096,12 +2103,14 @@ def rasterize_gbuffer_pallas_binned_hbm(tri_i32, tri_f32, width: int,
 
 def rasterize_depth_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                       height: int, interpret: bool = False,
-                                      cap: int | None = None):
+                                      cap: int | None = None,
+                                      pair_budget: int | None = None):
     """Streaming per-tile-list depth-only raster (shadow pass at scale)."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
-        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap)
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
+                                  pair_budget=pair_budget)
 
     (depth,) = _pallas_call(
         _binned_hbm_depth_kernel,
