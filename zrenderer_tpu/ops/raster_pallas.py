@@ -1632,10 +1632,17 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
     num_tiles = tiles_x * tiles_y
-    if cap is None:
-        cap = bin_cap_for(g.head_count(tri_i32.shape[0]))
-
     n_input = g.head_count(tri_i32.shape[0])
+    if cap is None:
+        # Streaming auto-cap (measured, 2026-08-21): more generous than
+        # the VMEM path's bin_cap_for because the budget clamp makes
+        # over-listing safe and every unlisted big-footprint triangle
+        # pays the leftover hierarchy's per-tile scan.  100K soup:
+        # cap 10 -> 1314 ms, cap 32 -> 155 ms, cap 128 -> 215 ms; the
+        # 1M lattice wants the small cap (key emission is n*cap).
+        cap = int(min(256, max(4, (4 * HBM_PAIR_BUDGET)
+                               // max(n_input, 1))))
+
     t = tri_i32.shape[0]
     pad = (-t) % g.RASTER_BLOCK
     if pad:
