@@ -944,6 +944,13 @@ def render_depth_pallas(positions, attrs, tri_vidx, matrices, node_ids,
             tri_i32, tri_f32, width, height, interpret=interpret
         )
     if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
+        # Large-scene default: streaming binned depth (the flat and
+        # G-buffer variants measured 2.82x / 2.25x over the hierarchy
+        # at 1M; binning='hierarchy' keeps the old path).
+        if binning != "hierarchy":
+            return rasterize_depth_pallas_binned_hbm(
+                tri_i32, tri_f32, width, height, interpret=interpret
+            )
         _, depth = rasterize_setup_pallas_hbm(
             tri_i32, tri_f32, width, height, interpret=interpret
         )
@@ -1056,7 +1063,14 @@ def render_gbuffer_pallas(positions, attrs, tri_vidx, matrices, node_ids,
             else rasterize_gbuffer_pallas_binned
         )
     elif tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS:
-        raster = rasterize_gbuffer_pallas_hbm
+        # Large-scene default: record-streaming binned G-buffer —
+        # 155.9 vs the hierarchy's 351.2 ms at 1M (2.25x, bit-equal,
+        # benchmarks/binned_ab.py --gbuffer, v5e 2026-08-21).
+        raster = (
+            rasterize_gbuffer_pallas_hbm
+            if binning == "hierarchy"
+            else rasterize_gbuffer_pallas_binned_hbm
+        )
     elif _use_small_bins(binning, tri_i32.shape[0]):
         raster = rasterize_gbuffer_pallas_small
     else:
