@@ -242,3 +242,30 @@ def test_sharded_pallas_interpret_matches_single_device():
     np.testing.assert_array_equal(depth_sh.view(np.uint32),
                                   np.asarray(depth_1).view(np.uint32))
     np.testing.assert_array_equal(rgba_sh, np.asarray(rgba_1))
+
+
+def test_sharded_binned_band_interpret_matches_single_device():
+    """The record-streaming binned BAND kernel under shard_map (the
+    round-4 large-scene default's multi-chip form), through the HLO
+    interpreter on the virtual CPU mesh — bit-equal to the single-device
+    XLA reference (forced at small size via binning='tile_lists')."""
+    flat, matrices = _inputs()
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(
+        mesh, W, H, use_pallas="interpret", binning="tile_lists"
+    )
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba_sh, depth_sh = frame_fn(*args)
+    rgba_sh = np.asarray(rgba_sh)
+    depth_sh = np.asarray(depth_sh)
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    assert (np.asarray(depth_1) < 1).mean() > 0.2
+    np.testing.assert_array_equal(depth_sh.view(np.uint32),
+                                  np.asarray(depth_1).view(np.uint32))
+    np.testing.assert_array_equal(rgba_sh, np.asarray(rgba_1))

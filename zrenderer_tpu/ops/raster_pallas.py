@@ -1770,11 +1770,11 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
                      rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
                      gbuf_refs=None, gbuf_scratch=None,
                      const_refs=None, const_scratch=None,
-                     depth_only=False):
+                     depth_only=False, row_base=0):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
-    row0 = tile_i * TILE_H
+    row0 = row_base + tile_i * TILE_H
     col0 = tile_j * TILE_W
 
     half = g.SUBPIXEL // 2
@@ -1853,7 +1853,7 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
     # Phase 1: stream this tile's contiguous record span in REC_CHUNK
     # slabs.  No bbox tests — every in-span record is a guaranteed hit;
     # only the slab-edge records carry an in-span mask.
-    tile_lin = tile_i * tiles_x + tile_j
+    tile_lin = (row_base // TILE_H + tile_i) * tiles_x + tile_j
     start = offs_ref[tile_lin]
     end = offs_ref[tile_lin + 1]
 
@@ -2142,6 +2142,67 @@ def rasterize_depth_pallas_binned_hbm(tri_i32, tri_f32, width: int,
         interpret=interpret,
     )(offsets, supers, blocks, prec_i, prec_f, hti, htf)
     return depth
+
+
+def _binned_hbm_band_kernel(row0_ref, offs_ref, sup_ref, blk_ref, prec_i,
+                            prec_f, ti_hbm, tf_hbm, color_ref, depth_ref,
+                            zbuf, tidbuf, nr, ng, nb, den,
+                            rec_ibuf, rec_fbuf, rec_sems,
+                            ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     row_base=row0_ref[0])
+
+
+def rasterize_setup_pallas_binned_band(tri_i32, tri_f32, width: int,
+                                       full_height: int, band_h: int,
+                                       row0, interpret: bool = False,
+                                       cap: int | None = None,
+                                       pair_budget: int | None = None):
+    """Record-streaming binned raster of one horizontal band starting at
+    global row ``row0`` (traced scalar) — the multi-chip screen-tile
+    variant (used inside shard_map like rasterize_setup_pallas_band).
+    The prepare runs over the FULL framebuffer's tile grid (every device
+    computes the same pair lists; each consumes only its band's spans)."""
+    assert full_height % TILE_H == 0 and width % TILE_W == 0
+    assert band_h % TILE_H == 0
+    grid = (band_h // TILE_H, width // TILE_W)
+    offsets, prec_i, prec_f, supers, blocks, hti, htf = \
+        prepare_binned_hbm_inputs(tri_i32, tri_f32, width, full_height,
+                                  cap=cap, pair_budget=pair_budget)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+
+    color, depth = _pallas_call(
+        _binned_hbm_band_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, offsets -> SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_i (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_f (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # hier ti rows
+                pl.BlockSpec(memory_space=pl.ANY),  # hier tf rows
+            ],
+            out_specs=[tile_spec] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(4)] + _REC_SLABS + list(_HBM_SLABS),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((band_h, width), jnp.uint32),
+            jax.ShapeDtypeStruct((band_h, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row0_arr, offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return color, depth
 
 
 # ---------------------------------------------------------------------------

@@ -115,7 +115,7 @@ def _band_raster_xla(tri_i32, tri_f32, width, band_h, row_offset):
 
 
 def make_sharded_frame(mesh: Mesh, width: int, height: int,
-                       use_pallas=False):
+                       use_pallas=False, binning: str = "auto"):
     """Build the jitted multi-chip frame step for a 1D device mesh.
 
     Returns (frame_fn, shard_fn) where frame_fn(positions, attrs, tri_vidx,
@@ -127,6 +127,10 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
     Pallas band kernel (TPU); ``"interpret"`` = the SAME Pallas kernel
     through the HLO interpreter — how CI proves the production kernel's
     sharded semantics on the virtual CPU mesh (VERDICT r2 weak #3).
+    ``binning``: "auto" = the single-chip dispatch rule (record-streaming
+    binned bands past the VMEM-resident bound, hierarchy bands below);
+    "tile_lists" forces the binned band (how CI tests it at small sizes);
+    "hierarchy" forces the hierarchy band.
     """
     n = mesh.devices.size
     assert height % n == 0, "height must divide across the mesh"
@@ -155,9 +159,23 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
         if use_pallas:
             from zrenderer_tpu.ops import raster_pallas as rp
 
-            color, depth = rp.rasterize_setup_pallas_band(
-                ti, tf, width, band_h, row0, interpret=pallas_interpret
+            rows = ti.shape[0]
+            use_binned = binning == "tile_lists" or (
+                binning == "auto" and rows > rp.VMEM_RESIDENT_MAX_TRIS
             )
+            if use_binned:
+                # Record-streaming binned band — the large-scene default
+                # (2.82x over the hierarchy at 1M single-chip; every
+                # device computes the same pair lists, consumes its own
+                # band's spans).
+                color, depth = rp.rasterize_setup_pallas_binned_band(
+                    ti, tf, width, height, band_h, row0,
+                    interpret=pallas_interpret,
+                )
+            else:
+                color, depth = rp.rasterize_setup_pallas_band(
+                    ti, tf, width, band_h, row0, interpret=pallas_interpret
+                )
             return rp.unpack_rgba8(color), depth
         return _band_raster_xla(ti, tf, width, band_h, row0)
 
@@ -196,7 +214,7 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
 
 
 def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
-                          use_pallas=False):
+                          use_pallas=False, binning: str = "auto"):
     """2D-mesh frame step: ('geom', 'tiles') axes compose triangle-shard
     geometry parallelism with screen-band data parallelism.
 
@@ -231,9 +249,23 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
         if use_pallas:
             from zrenderer_tpu.ops import raster_pallas as rp
 
-            color, depth = rp.rasterize_setup_pallas_band(
-                ti, tf, width, band_h, row0, interpret=pallas_interpret
+            rows = ti.shape[0]
+            use_binned = binning == "tile_lists" or (
+                binning == "auto" and rows > rp.VMEM_RESIDENT_MAX_TRIS
             )
+            if use_binned:
+                # Record-streaming binned band — the large-scene default
+                # (2.82x over the hierarchy at 1M single-chip; every
+                # device computes the same pair lists, consumes its own
+                # band's spans).
+                color, depth = rp.rasterize_setup_pallas_binned_band(
+                    ti, tf, width, height, band_h, row0,
+                    interpret=pallas_interpret,
+                )
+            else:
+                color, depth = rp.rasterize_setup_pallas_band(
+                    ti, tf, width, band_h, row0, interpret=pallas_interpret
+                )
             return rp.unpack_rgba8(color), depth
         return _band_raster_xla(ti, tf, width, band_h, row0)
 
@@ -271,7 +303,8 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
 
 
 def make_sharded_taa_frame(mesh: Mesh, width: int, height: int,
-                           use_pallas=False, alpha: float = 0.1):
+                           use_pallas=False, alpha: float = 0.1,
+                           binning: str = "auto"):
     """BASELINE config 4 composed as ONE jitted step: geometry-sharded
     triangle setup + band-sharded binned raster (make_sharded_frame) +
     TAA resolve running directly on the band-sharded frame.
@@ -300,7 +333,7 @@ def make_sharded_taa_frame(mesh: Mesh, width: int, height: int,
     sharded resolve bit-equal to the single-device one (see ops/taa.py).
     """
     frame_fn, shard_inputs = make_sharded_frame(
-        mesh, width, height, use_pallas=use_pallas
+        mesh, width, height, use_pallas=use_pallas, binning=binning
     )
     from zrenderer_tpu.ops.taa import taa_resolve
 
