@@ -25,13 +25,54 @@ from zrenderer_tpu.ops.sampling import (build_oct_atlas, build_pvar_atlas,
 class Texture:
     atlas: jax.Array  # (h, 2w, 4) f32 mip atlas
     atlas_u32: jax.Array  # (h, 2w) uint32 RGBA8-packed (the sampler's view)
-    quad_atlas_u32: jax.Array  # (h, 2w, 4) u32 2x2 neighborhoods (1-gather bilinear)
-    oct_atlas_u32: jax.Array  # (h, 2w, 16) u32 quad + parent 3x3 (1-gather trilinear)
-    pvar_atlas_u32: jax.Array  # (h, 2w, 32) u32 4x(quad + selected parent quad)
     offsets: jax.Array  # (L,) i32 per-level x offsets
     sizes: jax.Array  # (L, 2) i32 per-level (h, w)
     num_levels: int
     base_shape: tuple
+    # Derived gather atlases are built LAZILY on first use (ADVICE r4:
+    # keeping quad + oct + pvar all resident was ~53x the base texel
+    # bytes while the lit path samples only pvar).
+    _quad: jax.Array | None = None
+    _oct: jax.Array | None = None
+    _pvar: jax.Array | None = None
+
+    def _lazy_atlas(self, attr, builder):
+        val = getattr(self, attr)
+        if val is None:
+            val = builder()
+            # Never cache values produced INSIDE a jit trace: a cached
+            # tracer escapes its trace and poisons every later use
+            # (UnexpectedTracerError).  Engine code pre-touches the
+            # atlas outside jit (Renderer.set_environment) so the cache
+            # normally populates with a concrete array.
+            if not isinstance(val, jax.core.Tracer):
+                setattr(self, attr, val)
+        return val
+
+    @property
+    def quad_atlas_u32(self):
+        """(h, 2w, 4) u32 2x2 neighborhoods (1-gather bilinear)."""
+        h, w = self.base_shape
+        return self._lazy_atlas(
+            "_quad",
+            lambda: build_quad_atlas(self.atlas_u32, h, w, self.num_levels))
+
+    @property
+    def oct_atlas_u32(self):
+        """(h, 2w, 16) u32 quad + parent 3x3 (1-gather trilinear)."""
+        h, w = self.base_shape
+        return self._lazy_atlas(
+            "_oct",
+            lambda: build_oct_atlas(self.atlas_u32, h, w, self.num_levels))
+
+    @property
+    def pvar_atlas_u32(self):
+        """(h, 2w, 32) u32 4x(quad + selected parent quad) — the
+        production lit-path sampler's atlas (8-lane trilinear)."""
+        h, w = self.base_shape
+        return self._lazy_atlas(
+            "_pvar",
+            lambda: build_pvar_atlas(self.atlas_u32, h, w, self.num_levels))
 
     @classmethod
     def from_array(cls, image: np.ndarray, num_levels: int | None = None):
@@ -49,12 +90,6 @@ class Texture:
         return cls(
             atlas=atlas,
             atlas_u32=atlas_u32,
-            quad_atlas_u32=build_quad_atlas(
-                atlas_u32, img.shape[0], img.shape[1], len(chain)),
-            oct_atlas_u32=build_oct_atlas(
-                atlas_u32, img.shape[0], img.shape[1], len(chain)),
-            pvar_atlas_u32=build_pvar_atlas(
-                atlas_u32, img.shape[0], img.shape[1], len(chain)),
             offsets=offsets,
             sizes=sizes,
             num_levels=len(chain),
@@ -88,12 +123,35 @@ class TextureArray:
     """
 
     atlas_u32: jax.Array  # (L*h, 2w) uint32 RGBA8-packed
-    quad_atlas_u32: jax.Array  # (L*h, 2w, 4) u32 (per-layer wrap-correct)
-    oct_atlas_u32: jax.Array  # (L*h, 2w, 16) u32 (per-layer wrap-correct)
-    pvar_atlas_u32: jax.Array  # (L*h, 2w, 32) u32 (per-layer wrap-correct)
     num_levels: int
     base_shape: tuple  # (h, w) of one layer
     num_layers: int
+    # Source layers kept for lazy per-kind stacking (see Texture: only
+    # the pvar atlas is sampled by the production lit path).
+    _layers: list | None = None
+    _quad: jax.Array | None = None
+    _oct: jax.Array | None = None
+    _pvar: jax.Array | None = None
+
+    _lazy_atlas = Texture._lazy_atlas
+
+    @property
+    def quad_atlas_u32(self):
+        """(L*h, 2w, 4) u32 (per-layer wrap-correct)."""
+        return self._lazy_atlas("_quad", lambda: jnp.concatenate(
+            [t.quad_atlas_u32 for t in self._layers], axis=0))
+
+    @property
+    def oct_atlas_u32(self):
+        """(L*h, 2w, 16) u32 (per-layer wrap-correct)."""
+        return self._lazy_atlas("_oct", lambda: jnp.concatenate(
+            [t.oct_atlas_u32 for t in self._layers], axis=0))
+
+    @property
+    def pvar_atlas_u32(self):
+        """(L*h, 2w, 32) u32 (per-layer wrap-correct)."""
+        return self._lazy_atlas("_pvar", lambda: jnp.concatenate(
+            [t.pvar_atlas_u32 for t in self._layers], axis=0))
 
     @classmethod
     def from_textures(cls, textures):
@@ -107,17 +165,12 @@ class TextureArray:
             )
             assert t.num_levels == base.num_levels
         atlas = jnp.concatenate([t.atlas_u32 for t in textures], axis=0)
-        quad = jnp.concatenate([t.quad_atlas_u32 for t in textures], axis=0)
-        octa = jnp.concatenate([t.oct_atlas_u32 for t in textures], axis=0)
-        pvar = jnp.concatenate([t.pvar_atlas_u32 for t in textures], axis=0)
         return cls(
             atlas_u32=atlas,
-            quad_atlas_u32=quad,
-            oct_atlas_u32=octa,
-            pvar_atlas_u32=pvar,
             num_levels=base.num_levels,
             base_shape=tuple(base.base_shape),
             num_layers=len(textures),
+            _layers=list(textures),
         )
 
     @classmethod
