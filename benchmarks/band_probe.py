@@ -100,7 +100,12 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    if "--variants" in sys.argv:
+        rc = main2() or rc
+    if "--chains" in sys.argv:
+        rc = main3() or rc
+    sys.exit(rc)
 
 
 def _body_band_aligned(k, acc, buf, params):

@@ -21,6 +21,10 @@ from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.ops import raster_pallas as rp
 from zrenderer_tpu.scene.procedural import make_test_scene, make_triangle_soup
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def _setup(scene, mesh_data, W, H):
     flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
@@ -150,3 +154,57 @@ def test_binned_hbm_budget_clamp_demotes_exactly(monkeypatch):
         ti, tf, W, H, interpret=True, cap=4)
     _assert_same(d_c, d_ref)
     _assert_same(c_c, c_ref)
+
+
+def test_pair_value_sort_lex_fallback_matches_packed():
+    """Past i32 packing capacity the pair sort switches to a two-key
+    lexicographic lax.sort (ADVICE r4: the old fallback was a stable
+    argsort + index gather).  Both branches must produce identical
+    spans and an identical pair-ordered triangle sequence."""
+    rng = np.random.default_rng(7)
+    cap, num_tiles, p0 = 4, 37, 512
+    keys = jnp.asarray(rng.integers(0, num_tiles + 1, p0), jnp.int32)
+    tri_p, off_p = rp._pair_value_sort(keys, cap, num_tiles, force="packed")
+    tri_l, off_l = rp._pair_value_sort(keys, cap, num_tiles, force="lex")
+    np.testing.assert_array_equal(np.asarray(off_p), np.asarray(off_l))
+    # Within a tile the order is free (id tie-break) — but both branches
+    # sort unique (key, idx) pairs, so the full sequences agree exactly.
+    np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_l))
+
+
+def test_gathered_layout_does_not_invert_as_capped_rows():
+    """Why multi-chip callers must thread n_head (ADVICE r4 high): the
+    all-gathered row count n * capped_rows(shard) either fails to invert
+    (1M over 8 shards: AssertionError) or inverts to the WRONG head
+    count (2 shards of 1056 -> 8256, true head count 2112)."""
+    import pytest
+
+    rows_8 = 8 * g.capped_rows(125_000)
+    with pytest.raises(AssertionError):
+        g.head_count(rows_8)
+
+    rows_2 = 2 * g.capped_rows(1056)
+    assert g.head_count(rows_2) == 8256  # silently != 2 * 1056
+
+
+def test_binned_band_traces_at_multichip_1m_scale():
+    """Trace-only regression for the round-4 multi-chip crash: the
+    streaming binned band must TRACE with the 8-shard 1M gathered row
+    layout when n_head is threaded (it raised AssertionError at trace
+    time before the fix — parallel/tiles.py now passes n_head)."""
+    import functools
+
+    import jax
+
+    n, shard = 8, 125_000
+    rows = n * g.capped_rows(shard)
+    ti = jax.ShapeDtypeStruct((rows, g.NI32), jnp.int32)
+    tf = jax.ShapeDtypeStruct((rows, g.NF32), jnp.float32)
+    row0 = jax.ShapeDtypeStruct((), jnp.int32)
+    fn = functools.partial(
+        rp.rasterize_setup_pallas_binned_band,
+        width=1920, full_height=2048, band_h=256, n_head=n * shard,
+    )
+    color, depth = jax.eval_shape(fn, ti, tf, row0=row0)
+    assert color.shape == (256, 1920)
+    assert depth.shape == (256, 1920)

@@ -13,9 +13,12 @@ from zrenderer_tpu.ops import raster_xla
 from zrenderer_tpu.parallel.tiles import make_sharded_frame
 from zrenderer_tpu.scene.procedural import make_test_scene
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,  # heavyweight; excluded from the smoke tier
+]
 
 W, H = 128, 64
 
@@ -269,3 +272,145 @@ def test_sharded_binned_band_interpret_matches_single_device():
     np.testing.assert_array_equal(depth_sh.view(np.uint32),
                                   np.asarray(depth_1).view(np.uint32))
     np.testing.assert_array_equal(rgba_sh, np.asarray(rgba_1))
+
+
+def test_sharded_binned_band_head_count_layout_regression():
+    """ADVICE r4 (high): the gathered row layout of 2 shards x 1056
+    triangles inverts via head_count to a WRONG head count (8256 vs the
+    true 2112) — the binned band path must thread the true count and
+    stay bit-equal to the single-device reference at a shard size past
+    the small forced-tile_lists sizes the round-4 tests covered."""
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    scene, mesh_data = make_triangle_soup(
+        2112, seed=11, extent=2.0, behind_camera_fraction=0.03,
+        triangle_size=0.3,
+    )
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    assert flat.tri_vidx.shape[0] == 2112  # 2 shards x 1056 (> 1024)
+    assert g.head_count(2 * g.capped_rows(1056)) != 2112
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(
+        mesh, W, H, use_pallas="interpret", binning="tile_lists"
+    )
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba_sh, depth_sh = frame_fn(*args)
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    assert (np.asarray(depth_1) < 1).mean() > 0.05
+    np.testing.assert_array_equal(
+        np.asarray(depth_sh).view(np.uint32),
+        np.asarray(depth_1).view(np.uint32),
+    )
+    np.testing.assert_array_equal(np.asarray(rgba_sh), np.asarray(rgba_1))
+
+
+def test_sharded_dist_binning_matches_single_device():
+    """The fully distributed streaming prepare (binning='dist'): each
+    device bins only its own triangle shard, one all_to_all
+    redistributes per-band record slabs + the listed mask, and the
+    multi-source band kernel streams n_src spans per tile.  Must be
+    bit-equal to the single-device XLA reference."""
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    scene, mesh_data = make_triangle_soup(
+        512, seed=13, extent=2.0, behind_camera_fraction=0.05,
+        triangle_size=0.5,
+    )
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tiles",))
+    frame_fn, shard_inputs = make_sharded_frame(
+        mesh, W, H, use_pallas="interpret", binning="dist"
+    )
+    args = shard_inputs(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node
+    )
+    rgba_sh, depth_sh = frame_fn(*args)
+
+    rgba_1, depth_1 = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    assert (np.asarray(depth_1) < 1).mean() > 0.05
+    np.testing.assert_array_equal(
+        np.asarray(depth_sh).view(np.uint32),
+        np.asarray(depth_1).view(np.uint32),
+    )
+    np.testing.assert_array_equal(np.asarray(rgba_sh), np.asarray(rgba_1))
+
+
+def test_sharded_dist_binning_slab_overflow_demotes():
+    """With a tiny per-(src,dst) slab budget some in-band candidates must
+    demote to the band owner's hierarchy — and the image must not
+    change (exact prefix clamp, whole-triangle-per-band granularity)."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.scene.procedural import make_triangle_soup
+
+    scene, mesh_data = make_triangle_soup(
+        2048, seed=17, extent=2.0, triangle_size=0.5,
+    )
+    flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
+    vp = g.view_proj_from_camera(scene.active_camera, W, H)
+    matrices = np.einsum(
+        "nij,jk->nik", flat.node_to_world, vp
+    ).astype(np.float32)
+
+    # The tiny slab really does demote in-band candidates (direct check
+    # on shard 0's local prepare: valid, cap-fitting, band-overlapping
+    # triangles with listed_send == False exist).
+    ti0, tf0 = g.geometry_pipeline(
+        np, flat.positions, flat.attrs, flat.tri_vidx[:1024], matrices,
+        flat.vert_node, W, H,
+    )
+    _, _, offs0, listed_send = rp.prepare_binned_dist_local(
+        jnp.asarray(ti0), jnp.asarray(tf0), W, H, n_bands=2,
+        shard_index=0, shard_head=1024, slab_records=16,
+    )
+    head = ti0[:1024]
+    valid = head[:, g.I_VALID] > 0
+    sent = np.asarray(listed_send)
+    assert valid.sum() > 300  # enough candidates to overflow a 256 slab
+    demoted = valid & ~(sent[0] | sent[1])
+    assert demoted.sum() > 0, "tiny slab must demote some candidates"
+    assert int(np.asarray(offs0).max()) <= 256  # clamped spans
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tiles",))
+    rgba_ref, depth_ref = raster_xla.render_frame_jit(
+        flat.positions, flat.attrs, flat.tri_vidx, matrices, flat.vert_node,
+        W, H,
+    )
+    old = rp.DIST_SLAB_RECORDS
+    try:
+        rp.DIST_SLAB_RECORDS = 16  # rounds up to REC_ALIGN internally
+        frame_fn, shard_inputs = make_sharded_frame(
+            mesh, W, H, use_pallas="interpret", binning="dist"
+        )
+        args = shard_inputs(
+            flat.positions, flat.attrs, flat.tri_vidx, matrices,
+            flat.vert_node,
+        )
+        rgba_sh, depth_sh = frame_fn(*args)
+    finally:
+        rp.DIST_SLAB_RECORDS = old
+    np.testing.assert_array_equal(
+        np.asarray(depth_sh).view(np.uint32),
+        np.asarray(depth_ref).view(np.uint32),
+    )
+    np.testing.assert_array_equal(np.asarray(rgba_sh), np.asarray(rgba_ref))

@@ -228,13 +228,20 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
                             light_pos, light_color, view_proj,
                             ambient=0.03, roughness=0.4, metallic=0.0,
                             interpret: bool = False,
-                            plane_dtype=jnp.float32):
+                            plane_dtype=jnp.float32,
+                            row_offset=0, full_height: int | None = None):
     """Run the tiled GGX lighting kernel over a full frame.
 
     albedo/normal/world: (H, W, 3) f32; covered: (H, W) bool;
     roughness/metallic: scalars OR per-pixel (H, W) planes (the G-buffer's
     per-draw material constants).  Returns (H, W, 3) f32 linear RGB.
     H, W must be tile multiples (the engine's padded framebuffer is).
+
+    ``row_offset``/``full_height``: light a horizontal BAND of a
+    ``full_height``-tall frame whose first row is global row
+    ``row_offset`` (traced ok) — the multi-chip deferred path.  Light
+    screen bounds and the per-tile culling then use global coordinates;
+    the per-tile light lists are built for the band's tiles only.
 
     ``plane_dtype=jnp.bfloat16`` is the opt-in bf16 experiment: the 12
     G-buffer planes are stored/streamed half-width (halving their HBM->VMEM
@@ -256,9 +263,11 @@ def tiled_deferred_lighting(albedo, normal, world, covered, cam_pos,
     # per-tile COMPACTED light lists (hits first, stable order preserves
     # the reference accumulation order) + counts.  The kernel loop then
     # visits exactly counts[tile] lights.
-    bounds = light_screen_bounds(light_pos, light_color, view_proj, w, h)
+    bounds = light_screen_bounds(light_pos, light_color, view_proj, w,
+                                 h if full_height is None else full_height)
     ty, tx = grid
-    row0 = (jnp.arange(ty, dtype=jnp.int32) * TILE_H)[:, None, None]
+    row0 = (jnp.arange(ty, dtype=jnp.int32) * TILE_H
+            + jnp.asarray(row_offset, jnp.int32))[:, None, None]
     col0 = (jnp.arange(tx, dtype=jnp.int32) * TILE_W)[None, :, None]
     jmin, jmax = bounds[None, None, :, 0], bounds[None, None, :, 1]
     imin, imax = bounds[None, None, :, 2], bounds[None, None, :, 3]

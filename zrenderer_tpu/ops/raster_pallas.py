@@ -1635,18 +1635,84 @@ L_PID = g.NI32    # spare int lane carrying the triangle id (tie-break)
 HBM_PAIR_BUDGET = 1 << 20
 
 
+def band_pair_budget(n_bands: int) -> int:
+    """Per-band static pair budget for the band-local prepare: the
+    full-frame budget split across bands with 2x headroom for density
+    imbalance.  The record gather pays per STATIC row (measured,
+    benchmarks/sort_scale_probe.py), so an unshrunk budget forfeits the
+    band-local gather win entirely (benchmarks/band_prepare_ab.py)."""
+    return max(2 * HBM_PAIR_BUDGET // max(n_bands, 1), 1 << 16)
+
+
+def _pair_value_sort(keys, cap: int, num_tiles: int, force: str | None = None):
+    """Sort (tile, pair) keys as VALUES — no stable argsort, no index
+    gather (the kernel's (z, id) tie-break makes within-tile order free).
+    Returns (sorted_tri, offsets): pair-ordered head-row ids and the
+    (num_tiles+1,) span boundaries.
+
+    Fast path packs (key << idx_bits | pair_idx) into one i32 (5.8-10.3 ms
+    at 1M-4M pairs, benchmarks/sort_scale_probe.py).  Past i32 capacity
+    (e.g. >4M pairs at 1080p's 510 tiles, or large shadow-map tile grids)
+    it switches to a two-operand lexicographic lax.sort — still a value
+    sort with a (keys, idx) key pair, NOT the argsort+gather the pair
+    design exists to avoid."""
+    p0 = keys.shape[0]
+    idx_bits = max(1, (p0 - 1).bit_length())
+    use_packed = (num_tiles + 1) << idx_bits <= 2**31
+    if force is not None:  # branch override for parity tests
+        use_packed = force == "packed"
+    if use_packed:
+        packed = (keys << idx_bits) | jnp.arange(p0, dtype=jnp.int32)
+        sp = jnp.sort(packed)
+        sorted_tri = (sp & ((1 << idx_bits) - 1)) // cap
+        offsets = jnp.searchsorted(
+            sp, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << idx_bits)
+        ).astype(jnp.int32)
+    else:
+        idx = jnp.arange(p0, dtype=jnp.int32)
+        sorted_keys, sorted_idx = jax.lax.sort((keys, idx), num_keys=2)
+        sorted_tri = sorted_idx // cap
+        offsets = jnp.searchsorted(
+            sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+    return sorted_tri, offsets
+
+
 def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
                               cap: int | None = None,
-                              pair_budget: int | None = None):
+                              pair_budget: int | None = None,
+                              n_head: int | None = None,
+                              band_ty0=None, band_tiles_y: int | None = None):
     """Pair build + value-sort + record gather for the streaming binned
     kernel.  Returns (offsets, prec_i, prec_f, supers, blocks, hti, htf):
     offsets (NUM_TILES+1,) i32 span boundaries in RECORDS; prec_i
     (P//4, 128) i32 / prec_f (P//2, 128) f32 pair-ordered packed records;
-    hti/htf the leftover hierarchy's packed HBM rows."""
+    hti/htf the leftover hierarchy's packed HBM rows.
+
+    ``n_head``: count of leading head (slot-0) rows.  Defaults to
+    inverting the single-device capped layout (geometry.head_count);
+    callers with a DIFFERENT layout — the multi-chip paths, whose
+    all-gathered rows are ``n_shards * capped_rows(shard_tris)`` and do
+    NOT invert as one device's ``capped_rows(T)`` — must pass the true
+    statically-known head count (parallel/tiles.py does).
+
+    ``band_ty0``/``band_tiles_y``: BAND-LOCAL prepare (VERDICT r4 #1) —
+    build lists only for the ``band_tiles_y`` tile rows starting at tile
+    row ``band_ty0`` (a traced scalar).  Keys are emitted in band-local
+    tile indices, bboxes are clamped to the band (a triangle whose FULL
+    footprint exceeds ``cap`` but whose in-band footprint fits is now
+    listed), and the returned offsets span band_tiles_y*tiles_x tiles.
+    Inside shard_map this deletes the replicated full-frame prepare each
+    device used to run — each chip sorts/gathers only its own band's
+    pairs, and the whole pair budget serves 1/n of the screen."""
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
-    num_tiles = tiles_x * tiles_y
-    n_input = g.head_count(tri_i32.shape[0])
+    if band_tiles_y is None:
+        num_tiles = tiles_x * tiles_y
+    else:
+        num_tiles = tiles_x * band_tiles_y
+        assert band_ty0 is not None
+    n_input = g.head_count(tri_i32.shape[0]) if n_head is None else n_head
     if cap is None:
         # Streaming auto-cap (measured, 2026-08-21): more generous than
         # the VMEM path's bin_cap_for because the budget clamp makes
@@ -1677,6 +1743,14 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
     tj1 = head[:, g.I_JMAX] // TILE_W
     ty0 = head[:, g.I_IMIN] // TILE_H
     ty1 = head[:, g.I_IMAX] // TILE_H
+    if band_tiles_y is not None:
+        # Clamp each bbox's tile-row range to the band; out-of-band
+        # triangles never emit keys (and their hierarchy blocks never
+        # overlap the band's tiles, so phase 2 skips them too).
+        ty_off = jnp.asarray(band_ty0, jnp.int32)
+        ty0 = jnp.maximum(ty0, ty_off)
+        ty1 = jnp.minimum(ty1, ty_off + (band_tiles_y - 1))
+        valid = valid & (ty0 <= ty1)
     ntx = tj1 - tj0 + 1
     nty = ty1 - ty0 + 1
     foot = ntx * nty
@@ -1692,33 +1766,18 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
         jnp.cumsum(jnp.where(listed, foot, 0), dtype=jnp.int32) <= k_budget
     )
 
+    ty_base = ty0 if band_tiles_y is None else ty0 - ty_off
     keys = []
     for e in range(cap):
         dx = e % ntx
         dy = e // ntx
         pvalid = listed & (e < foot)
         keys.append(
-            jnp.where(pvalid, (ty0 + dy) * tiles_x + (tj0 + dx), num_tiles)
+            jnp.where(pvalid, (ty_base + dy) * tiles_x + (tj0 + dx),
+                      num_tiles)
         )
     keys = jnp.stack(keys, axis=1).reshape(-1)  # (P0,) tri-major
-    p0 = n_input * cap
-    idx_bits = max(1, (p0 - 1).bit_length())
-    if (num_tiles + 1) << idx_bits <= 2**31:
-        # Unstable value sort: keys unique after packing the pair index
-        # into the low bits; order within a tile is free (id tie-break).
-        packed = (keys << idx_bits) | jnp.arange(p0, dtype=jnp.int32)
-        sp = jnp.sort(packed)
-        sorted_tri = (sp & ((1 << idx_bits) - 1)) // cap
-        offsets = jnp.searchsorted(
-            sp, (jnp.arange(num_tiles + 1, dtype=jnp.int32) << idx_bits)
-        ).astype(jnp.int32)
-    else:  # pathological tile counts: stable argsort fallback
-        order = jnp.argsort(keys, stable=True)
-        sorted_keys = keys[order]
-        sorted_tri = (order // cap).astype(jnp.int32)
-        offsets = jnp.searchsorted(
-            sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
+    sorted_tri, offsets = _pair_value_sort(keys, cap, num_tiles)
 
     # Valid pairs sort to the front (sentinel keys are num_tiles), and
     # the budget clamp guarantees there are at most k_budget of them —
@@ -1770,7 +1829,8 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
                      rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
                      gbuf_refs=None, gbuf_scratch=None,
                      const_refs=None, const_scratch=None,
-                     depth_only=False, row_base=0):
+                     depth_only=False, row_base=0,
+                     band_local_lists=False, n_sources=1):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1853,43 +1913,63 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
     # Phase 1: stream this tile's contiguous record span in REC_CHUNK
     # slabs.  No bbox tests — every in-span record is a guaranteed hit;
     # only the slab-edge records carry an in-span mask.
-    tile_lin = (row_base // TILE_H + tile_i) * tiles_x + tile_j
-    start = offs_ref[tile_lin]
-    end = offs_ref[tile_lin + 1]
+    if band_local_lists:
+        # Band-local prepare: offsets span only this band's tiles
+        # (row_base still positions the pixel math globally above).
+        tile_lin = tile_i * tiles_x + tile_j
+        num_list_tiles = (pl.num_programs(0)) * tiles_x
+    else:
+        tile_lin = (row_base // TILE_H + tile_i) * tiles_x + tile_j
+        num_list_tiles = None  # single source, direct indexing
 
-    def window(done):
-        wbase = (done // REC_ALIGN) * REC_ALIGN
-        cp_i = pltpu.make_async_copy(
-            prec_i_hbm.at[pl.ds(wbase // 4, REC_CHUNK // 4), :],
-            rec_ibuf, rec_sems.at[0],
-        )
-        cp_f = pltpu.make_async_copy(
-            prec_f_hbm.at[pl.ds(wbase // 2, REC_CHUNK // 2), :],
-            rec_fbuf, rec_sems.at[1],
-        )
-        cp_i.start()
-        cp_f.start()
-        cp_i.wait()
-        cp_f.wait()
-        lo = done - wbase
-        hi = jnp.minimum(end - wbase, REC_CHUNK)
+    def stream_span(start, end):
+        def window(done):
+            wbase = (done // REC_ALIGN) * REC_ALIGN
+            cp_i = pltpu.make_async_copy(
+                prec_i_hbm.at[pl.ds(wbase // 4, REC_CHUNK // 4), :],
+                rec_ibuf, rec_sems.at[0],
+            )
+            cp_f = pltpu.make_async_copy(
+                prec_f_hbm.at[pl.ds(wbase // 2, REC_CHUNK // 2), :],
+                rec_fbuf, rec_sems.at[1],
+            )
+            cp_i.start()
+            cp_f.start()
+            cp_i.wait()
+            cp_f.wait()
+            lo = done - wbase
+            hi = jnp.minimum(end - wbase, REC_CHUNK)
 
-        def rec8(r2, c):
-            for u in range(8):
-                k = r2 * 8 + u
-                ir = r2 * 2 + u // 4
-                il = (u % 4) * I32_LANES
-                fr = r2 * 4 + u // 2
-                fl = (u % 2) * F32_LANES
-                emask = (k >= lo) & (k < hi)
-                eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
-                        rec_ibuf[ir, il + L_PID], emask)
+            def rec8(r2, c):
+                for u in range(8):
+                    k = r2 * 8 + u
+                    ir = r2 * 2 + u // 4
+                    il = (u % 4) * I32_LANES
+                    fr = r2 * 4 + u // 2
+                    fl = (u % 2) * F32_LANES
+                    emask = (k >= lo) & (k < hi)
+                    eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
+                            rec_ibuf[ir, il + L_PID], emask)
+                return c
+
+            jax.lax.fori_loop(lo // 8, (hi + 7) // 8, rec8, 0)
+            return wbase + hi
+
+        jax.lax.while_loop(lambda d: d < end, window, start)
+
+    if n_sources == 1:
+        stream_span(offs_ref[tile_lin], offs_ref[tile_lin + 1])
+    else:
+        # Distributed prepare (multi-chip all_to_all): one span per
+        # source shard, offsets laid out (n_sources, band_tiles+1) and
+        # already rebased to the concatenated slab record rows.
+        def src_body(src, c):
+            base = src * (num_list_tiles + 1)
+            stream_span(offs_ref[base + tile_lin],
+                        offs_ref[base + tile_lin + 1])
             return c
 
-        jax.lax.fori_loop(lo // 8, (hi + 7) // 8, rec8, 0)
-        return wbase + hi
-
-    jax.lax.while_loop(lambda d: d < end, window, start)
+        jax.lax.fori_loop(0, n_sources, src_body, 0)
 
     # Phase 2: leftovers through the HBM block hierarchy (same slab
     # machinery as _hbm_kernel_body, id-aware body).
@@ -2062,7 +2142,8 @@ def _binned_hbm_grid_spec(grid, num_outs, extra_scratch):
 def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                       height: int, interpret: bool = False,
                                       cap: int | None = None,
-                                      pair_budget: int | None = None):
+                                      pair_budget: int | None = None,
+                                      n_head: int | None = None):
     """Per-tile-list raster at HBM scale (pair-ordered record streaming).
 
     Same bit-exact contract as rasterize_setup_pallas_binned (oracle
@@ -2071,7 +2152,7 @@ def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
         prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
-                                  pair_budget=pair_budget)
+                                  pair_budget=pair_budget, n_head=n_head)
 
     color, depth = _pallas_call(
         _binned_hbm_kernel,
@@ -2096,14 +2177,15 @@ def rasterize_gbuffer_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                         height: int,
                                         interpret: bool = False,
                                         cap: int | None = None,
-                                        pair_budget: int | None = None):
+                                        pair_budget: int | None = None,
+                                        n_head: int | None = None):
     """Streaming per-tile-list G-buffer — same 13 planes as
     rasterize_gbuffer_pallas_hbm, no VMEM triangle ceiling."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
         prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
-                                  pair_budget=pair_budget)
+                                  pair_budget=pair_budget, n_head=n_head)
 
     plane = lambda dt: jax.ShapeDtypeStruct((height, width), dt)
     outs = _pallas_call(
@@ -2125,13 +2207,14 @@ def rasterize_gbuffer_pallas_binned_hbm(tri_i32, tri_f32, width: int,
 def rasterize_depth_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                       height: int, interpret: bool = False,
                                       cap: int | None = None,
-                                      pair_budget: int | None = None):
+                                      pair_budget: int | None = None,
+                                      n_head: int | None = None):
     """Streaming per-tile-list depth-only raster (shadow pass at scale)."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
         prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
-                                  pair_budget=pair_budget)
+                                  pair_budget=pair_budget, n_head=n_head)
 
     (depth,) = _pallas_call(
         _binned_hbm_depth_kernel,
@@ -2156,28 +2239,57 @@ def _binned_hbm_band_kernel(row0_ref, offs_ref, sup_ref, blk_ref, prec_i,
                      row_base=row0_ref[0])
 
 
+def _binned_hbm_band_local_kernel(row0_ref, offs_ref, sup_ref, blk_ref,
+                                  prec_i, prec_f, ti_hbm, tf_hbm,
+                                  color_ref, depth_ref,
+                                  zbuf, tidbuf, nr, ng, nb, den,
+                                  rec_ibuf, rec_fbuf, rec_sems,
+                                  ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     row_base=row0_ref[0], band_local_lists=True)
+
+
 def rasterize_setup_pallas_binned_band(tri_i32, tri_f32, width: int,
                                        full_height: int, band_h: int,
                                        row0, interpret: bool = False,
                                        cap: int | None = None,
-                                       pair_budget: int | None = None):
+                                       pair_budget: int | None = None,
+                                       n_head: int | None = None,
+                                       band_local: bool = True):
     """Record-streaming binned raster of one horizontal band starting at
     global row ``row0`` (traced scalar) — the multi-chip screen-tile
     variant (used inside shard_map like rasterize_setup_pallas_band).
-    The prepare runs over the FULL framebuffer's tile grid (every device
-    computes the same pair lists; each consumes only its band's spans)."""
+
+    ``band_local=True`` (default, VERDICT r4 #1): the prepare builds
+    pair lists only for THIS band's tiles — keys, sort sentinels, and
+    the record gather all scope to the band, so inside shard_map no
+    device repeats the full-frame binning and the whole pair budget
+    serves its own band.  ``band_local=False`` keeps the round-4
+    behavior (full-frame prepare, band consumes its spans) for A/B.
+    Multi-chip callers MUST pass ``n_head`` (the all-gathered row layout
+    does not invert as a single device's capped layout)."""
     assert full_height % TILE_H == 0 and width % TILE_W == 0
     assert band_h % TILE_H == 0
     grid = (band_h // TILE_H, width // TILE_W)
+    if band_local:
+        band_kw = dict(band_ty0=jnp.asarray(row0, jnp.int32) // TILE_H,
+                       band_tiles_y=band_h // TILE_H)
+    else:
+        band_kw = {}
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
         prepare_binned_hbm_inputs(tri_i32, tri_f32, width, full_height,
-                                  cap=cap, pair_budget=pair_budget)
+                                  cap=cap, pair_budget=pair_budget,
+                                  n_head=n_head, **band_kw)
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
     tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM)
 
     color, depth = _pallas_call(
-        _binned_hbm_band_kernel,
+        _binned_hbm_band_local_kernel if band_local
+        else _binned_hbm_band_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, offsets -> SMEM
             grid=grid,
@@ -2202,6 +2314,316 @@ def rasterize_setup_pallas_binned_band(tri_i32, tri_f32, width: int,
         ],
         interpret=interpret,
     )(row0_arr, offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return color, depth
+
+
+def _binned_hbm_gbuffer_band_kernel(row0_ref, offs_ref, sup_ref, blk_ref,
+                                    prec_i, prec_f, ti_hbm, tf_hbm,
+                                    color_ref, depth_ref,
+                                    u_ref, v_ref, nx_ref, ny_ref, nz_ref,
+                                    met_ref, rgh_ref, emr_ref, emg_ref,
+                                    emb_ref, tex_ref,
+                                    zbuf, tidbuf, nr, ng, nb, den,
+                                    nu, nv, nnx, nny, nnz,
+                                    smet, srgh, semr, semg, semb, stex,
+                                    rec_ibuf, rec_fbuf, rec_sems,
+                                    ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     gbuf_refs=(u_ref, v_ref, nx_ref, ny_ref, nz_ref),
+                     gbuf_scratch=(nu, nv, nnx, nny, nnz),
+                     const_refs=(met_ref, rgh_ref, emr_ref, emg_ref,
+                                 emb_ref, tex_ref),
+                     const_scratch=(smet, srgh, semr, semg, semb, stex),
+                     row_base=row0_ref[0], band_local_lists=True)
+
+
+def rasterize_gbuffer_pallas_binned_band(tri_i32, tri_f32, width: int,
+                                         full_height: int, band_h: int,
+                                         row0, interpret: bool = False,
+                                         cap: int | None = None,
+                                         pair_budget: int | None = None,
+                                         n_head: int | None = None):
+    """Record-streaming binned G-BUFFER raster of one horizontal band —
+    the multi-chip deferred pipeline's raster stage (same 13 planes as
+    rasterize_gbuffer_pallas_binned_hbm, band-local prepare like
+    rasterize_setup_pallas_binned_band).  Multi-chip callers MUST pass
+    ``n_head``."""
+    assert full_height % TILE_H == 0 and width % TILE_W == 0
+    assert band_h % TILE_H == 0
+    grid = (band_h // TILE_H, width // TILE_W)
+    offsets, prec_i, prec_f, supers, blocks, hti, htf = \
+        prepare_binned_hbm_inputs(
+            tri_i32, tri_f32, width, full_height,
+            cap=cap, pair_budget=pair_budget, n_head=n_head,
+            band_ty0=jnp.asarray(row0, jnp.int32) // TILE_H,
+            band_tiles_y=band_h // TILE_H,
+        )
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+    plane = lambda dt: jax.ShapeDtypeStruct((band_h, width), dt)
+
+    outs = _pallas_call(
+        _binned_hbm_gbuffer_band_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, offsets -> SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_i (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_f (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # hier ti rows
+                pl.BlockSpec(memory_space=pl.ANY),  # hier tf rows
+            ],
+            out_specs=[tile_spec] * 13,
+            scratch_shapes=[
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(15)] + _REC_SLABS + list(_HBM_SLABS),
+        ),
+        out_shape=[plane(jnp.uint32)] + [plane(jnp.float32)] * 12,
+        interpret=interpret,
+    )(row0_arr, offsets, supers, blocks, prec_i, prec_f, hti, htf)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Distributed streaming prepare (multi-chip all_to_all binning)
+# ---------------------------------------------------------------------------
+# The band-local prepare above still pays O(total_tris * cap) keys + sort
+# on every device.  The distributed prepare shards THAT too: each device
+# emits/sorts/gathers pairs only for its own triangle shard (1/n of the
+# keys and sort), packs per-destination-band record slabs, and ONE
+# all_to_all redistributes them so every band owner holds its band's
+# records from all shards.  The kernel streams n_sources spans per tile
+# (order within a tile is free — (z, id) tie-break), so concatenating
+# source slabs needs no merge.  Overflowing (slab budget) or
+# cap-exceeding triangles are NOT listed; the owner is told via a listed
+# mask riding the same all_to_all and renders them through its
+# band-scoped phase-2 hierarchy — every (tile, triangle) visit happens
+# exactly once, keeping the bit-exact oracle contract.
+
+DIST_SLAB_RECORDS = 1 << 15  # per-(src, dst) record capacity (tunable)
+
+
+def dist_slab_rows(slab_records: int) -> int:
+    """Total rows per (src, dst) slab piece: usable records rounded up to
+    REC_ALIGN plus one REC_CHUNK of DMA margin (the streaming window may
+    read, masked, past a span's end)."""
+    usable = -(-slab_records // REC_ALIGN) * REC_ALIGN
+    return usable + REC_CHUNK
+
+
+def prepare_binned_dist_local(ti_local, tf_local, width: int, height: int,
+                              n_bands: int, shard_index, shard_head: int,
+                              cap: int | None = None,
+                              slab_records: int | None = None):
+    """Per-shard half of the distributed streaming prepare (runs inside
+    shard_map BEFORE any collective).
+
+    ``ti_local``/``tf_local``: this shard's capped-layout setup rows
+    (geometry_pipeline output for shard_head triangles).
+    ``shard_index``: traced axis index (canonical head ids are
+    ``shard_index * shard_head + row``).
+
+    Returns (prec_i (n, R//4, 128) i32, prec_f (n, R//2, 128) f32,
+    offs (n, band_tiles+1) i32 slab-local record spans, listed_send
+    (n, shard_head) bool) — all shaped for lax.all_to_all over the mesh
+    axis with split/concat axis 0."""
+    tiles_x = width // TILE_W
+    tiles_y = height // TILE_H
+    num_tiles = tiles_x * tiles_y
+    assert tiles_y % n_bands == 0
+    bty = tiles_y // n_bands
+    band_tiles = tiles_x * bty
+    if slab_records is None:
+        slab_records = DIST_SLAB_RECORDS
+    slab_records = -(-slab_records // REC_ALIGN) * REC_ALIGN
+    r_total = dist_slab_rows(slab_records)
+    if cap is None:
+        cap = int(min(256, max(4, (4 * HBM_PAIR_BUDGET)
+                               // max(shard_head * n_bands, 1))))
+
+    head = ti_local[:shard_head]
+    valid = head[:, g.I_VALID] > 0
+    tj0 = head[:, g.I_JMIN] // TILE_W
+    tj1 = head[:, g.I_JMAX] // TILE_W
+    ty0 = head[:, g.I_IMIN] // TILE_H
+    ty1 = head[:, g.I_IMAX] // TILE_H
+    ntx = tj1 - tj0 + 1
+    nty = ty1 - ty0 + 1
+    foot = ntx * nty
+    listed = valid & (foot <= cap)
+
+    # Per-destination-band footprints and exact slab-budget prefixes: a
+    # triangle is listed FOR band b iff its whole (clamped) b-footprint
+    # fits the remaining slab budget — no mid-tile truncation.
+    band_lo = jnp.arange(n_bands, dtype=jnp.int32) * bty
+    cty0 = jnp.maximum(ty0[:, None], band_lo[None, :])
+    cty1 = jnp.minimum(ty1[:, None], band_lo[None, :] + (bty - 1))
+    ntyb = cty1 - cty0 + 1
+    footb = jnp.where(ntyb > 0, ntx[:, None] * ntyb, 0)
+    cum_b = jnp.cumsum(
+        jnp.where(listed[:, None], footb, 0), axis=0, dtype=jnp.int32
+    )
+    fits = cum_b <= slab_records
+    listed_send = (listed[:, None] & fits).T  # (n_bands, shard_head)
+
+    keys = []
+    for e in range(cap):
+        dx = e % ntx
+        dy = e // ntx
+        cell_ty = ty0 + dy
+        cell_b = cell_ty // bty
+        fit_e = jnp.zeros_like(listed)
+        for b in range(n_bands):
+            fit_e = fit_e | (fits[:, b] & (cell_b == b))
+        pvalid = listed & (e < foot) & fit_e
+        keys.append(
+            jnp.where(pvalid, cell_ty * tiles_x + (tj0 + dx), num_tiles)
+        )
+    keys = jnp.stack(keys, axis=1).reshape(-1)
+    sorted_tri, offsets_full = _pair_value_sort(keys, cap, num_tiles)
+    p0 = keys.shape[0]
+
+    # Per-destination slab spans: sorted pairs are band-contiguous.
+    band_starts = offsets_full[
+        jnp.arange(n_bands, dtype=jnp.int32) * band_tiles]
+    seg_idx = (jnp.arange(n_bands, dtype=jnp.int32)[:, None] * band_tiles
+               + jnp.arange(band_tiles + 1, dtype=jnp.int32)[None, :])
+    offs = offsets_full[seg_idx] - band_starts[:, None]  # (n, bt+1)
+
+    # ONE combined record gather straight into slab order (margin rows
+    # clamp to the last pair; their spans never cover them).
+    idx = jnp.clip(
+        band_starts[:, None] + jnp.arange(r_total, dtype=jnp.int32)[None, :],
+        0, p0 - 1,
+    )
+    tri_sel = sorted_tri[idx]  # (n, r_total) local head rows
+    comb = jnp.concatenate(
+        [
+            jnp.pad(ti_local, ((0, 0), (0, I32_LANES - g.NI32))),
+            jax.lax.bitcast_convert_type(
+                jnp.pad(tf_local, ((0, 0), (0, F32_LANES - g.NF32))),
+                jnp.int32,
+            ),
+        ],
+        axis=1,
+    )
+    pid = tri_sel + jnp.asarray(shard_index, jnp.int32) * shard_head
+    crec = comb[tri_sel].at[:, :, L_PID].set(pid)
+    prec_i = crec[:, :, :I32_LANES].reshape(n_bands, r_total // 4,
+                                            4 * I32_LANES)
+    prec_f = jax.lax.bitcast_convert_type(
+        crec[:, :, I32_LANES:], jnp.float32
+    ).reshape(n_bands, r_total // 2, 2 * F32_LANES)
+    return prec_i, prec_f, offs, listed_send
+
+
+def _binned_hbm_band_dist_kernel_factory(n_sources: int):
+    def kern(row0_ref, offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+             ti_hbm, tf_hbm, color_ref, depth_ref,
+             zbuf, tidbuf, nr, ng, nb, den,
+             rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems):
+        _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                         ti_hbm, tf_hbm, color_ref, depth_ref,
+                         zbuf, tidbuf, nr, ng, nb, den,
+                         rec_ibuf, rec_fbuf, rec_sems,
+                         ti_buf, tf_buf, dma_sems,
+                         row_base=row0_ref[0], band_local_lists=True,
+                         n_sources=n_sources)
+    return kern
+
+
+def rasterize_setup_pallas_binned_band_dist(
+        ti, tf, listed_mask, prec_i, prec_f, offs,
+        width: int, full_height: int, band_h: int, row0,
+        slab_records: int, interpret: bool = False):
+    """Owner half of the distributed streaming raster: consume the
+    all_to_all'd record slabs + spans + listed mask for THIS band.
+
+    ``ti``/``tf``: the all-gathered, canonically-permuted setup rows
+    (the hierarchy leftovers' source).  ``listed_mask`` (n_head,) bool in
+    canonical head order: True rows render via the slabs and are killed
+    from the phase-2 hierarchy.  ``prec_i``/``prec_f``/``offs``: the
+    received (n_src, ...) slab stacks from prepare_binned_dist_local."""
+    assert full_height % TILE_H == 0 and width % TILE_W == 0
+    assert band_h % TILE_H == 0
+    n_src = prec_i.shape[0]
+    r_total = dist_slab_rows(slab_records)
+    assert prec_i.shape[1] == r_total // 4, (prec_i.shape, r_total)
+    grid = (band_h // TILE_H, width // TILE_W)
+
+    # Rebase spans to the concatenated record rows (slot s at s*r_total)
+    # and flatten for scalar prefetch.
+    base = (jnp.arange(n_src, dtype=jnp.int32) * r_total)[:, None]
+    offs_flat = (offs + base).reshape(-1)
+    prec_i_all = prec_i.reshape(n_src * (r_total // 4), 4 * I32_LANES)
+    prec_f_all = prec_f.reshape(n_src * (r_total // 2), 2 * F32_LANES)
+
+    # Phase-2 hierarchy over everything the slabs don't own.
+    t = ti.shape[0]
+    n_head = listed_mask.shape[0]
+    pad = (-t) % g.RASTER_BLOCK
+    if pad:
+        ti = jnp.concatenate(
+            [ti, jnp.zeros((pad, g.NI32), jnp.int32)
+             .at[:, g.I_JMIN].set(1)
+             .at[:, g.I_BIAS0].set(2**31 - 1)
+             .at[:, g.I_BIAS1].set(2**31 - 1)
+             .at[:, g.I_BIAS2].set(2**31 - 1)], axis=0
+        )
+        tf = jnp.concatenate(
+            [tf, jnp.zeros((pad, g.NF32), jnp.float32)], axis=0
+        )
+    row_listed = jnp.concatenate(
+        [listed_mask, jnp.zeros(ti.shape[0] - n_head, bool)]
+    )
+    hier = ti
+    hier = hier.at[:, g.I_JMIN].set(
+        jnp.where(row_listed, 1, hier[:, g.I_JMIN]))
+    hier = hier.at[:, g.I_JMAX].set(
+        jnp.where(row_listed, 0, hier[:, g.I_JMAX]))
+    hier = hier.at[:, g.I_VALID].set(
+        jnp.where(row_listed, 0, hier[:, g.I_VALID]))
+    blocks = g.block_bounds(jnp, hier)
+    blocks, supers = g.super_bounds(jnp, blocks)
+    hti, htf = _hbm_flat_inputs(hier, tf)
+
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM)
+    color, depth = _pallas_call(
+        _binned_hbm_band_dist_kernel_factory(n_src),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, offsets -> SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (hier)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_i (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # prec_f (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # hier ti rows
+                pl.BlockSpec(memory_space=pl.ANY),  # hier tf rows
+            ],
+            out_specs=[tile_spec] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+            ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                 for _ in range(4)] + _REC_SLABS + list(_HBM_SLABS),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((band_h, width), jnp.uint32),
+            jax.ShapeDtypeStruct((band_h, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row0_arr, offs_flat, supers, blocks, prec_i_all, prec_f_all, hti, htf)
     return color, depth
 
 

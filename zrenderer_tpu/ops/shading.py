@@ -19,15 +19,23 @@ import jax.numpy as jnp
 from zrenderer_tpu.ops import geometry as g
 
 
-def reconstruct_world_pos(depth_ndc, inv_view_proj, width: int, height: int):
+def reconstruct_world_pos(depth_ndc, inv_view_proj, width: int, height: int,
+                          row_offset=0):
     """World position from the depth plane — the standard deferred trick.
 
     depth_ndc: (H, W) z in [0, 1].  inv_view_proj: (4, 4) row-vector
     inverse of view_proj.  Pixel centers at (j+0.5, i+0.5).
+
+    ``row_offset``: first row's GLOBAL screen row (traced ok) — the
+    multi-chip deferred path reconstructs a band of the frame, whose NDC
+    y must come from global coordinates while ``height`` stays the full
+    frame height (parallel/tiles.py make_sharded_deferred_frame).
     """
     h, w = depth_ndc.shape
     xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * (2.0 / w) - 1.0
-    ys = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * (2.0 / h)
+    ys = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+                + jnp.float32(0.5)
+                + jnp.asarray(row_offset, jnp.float32)) * (2.0 / height)
     # Explicit multiply-adds, NOT einsum: a default-precision einsum runs
     # bf16 on the TPU MXU, and the resulting ~0.4% world-position error
     # was measured to move the deferred image up to 252 u8 LSB off the CPU

@@ -11,6 +11,10 @@ the BASELINE.json north star, is sharding the frame across a TPU mesh:
 * **Screen-tile data parallelism**: each device rasterizes its horizontal
   band of the framebuffer (out sharding P('tiles', None)); no communication
   at all in the raster phase — tile state never leaves the chip's VMEM.
+  At scale the record-streaming binned band runs a BAND-LOCAL prepare
+  (keys, sort, record gather scoped to the device's own tile rows —
+  raster_pallas.prepare_binned_hbm_inputs band_ty0/band_tiles_y), so the
+  binning itself shards instead of being replicated per device.
 
 The composed step is one jitted shard_map: per-frame host->device traffic
 is just the per-draw matrices, and the only collective is the small setup
@@ -130,7 +134,10 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
     ``binning``: "auto" = the single-chip dispatch rule (record-streaming
     binned bands past the VMEM-resident bound, hierarchy bands below);
     "tile_lists" forces the binned band (how CI tests it at small sizes);
-    "hierarchy" forces the hierarchy band.
+    "hierarchy" forces the hierarchy band; "dist" forces the fully
+    distributed prepare — each device bins only its own triangle shard
+    and ONE all_to_all redistributes per-band record slabs, so keys,
+    sort, AND gather all shard (raster_pallas.prepare_binned_dist_local).
     """
     n = mesh.devices.size
     assert height % n == 0, "height must divide across the mesh"
@@ -156,6 +163,31 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
 
         # Screen-tile parallel: rasterize this device's band. No collective.
         row0 = jax.lax.axis_index(AXIS) * band_h
+        if use_pallas and binning == "dist":
+            from zrenderer_tpu.ops import raster_pallas as rp
+
+            shard_head = tri_vidx_shard.shape[0]
+            prec_i, prec_f, offs, listed_send = \
+                rp.prepare_binned_dist_local(
+                    ti_local, tf_local, width, height, n_bands=n,
+                    shard_index=jax.lax.axis_index(AXIS),
+                    shard_head=shard_head,
+                )
+            # ONE record redistribution: piece b of every shard's slabs
+            # lands on band owner b, stacked by source shard.
+            prec_i = jax.lax.all_to_all(prec_i, AXIS, 0, 0)
+            prec_f = jax.lax.all_to_all(prec_f, AXIS, 0, 0)
+            offs = jax.lax.all_to_all(offs, AXIS, 0, 0)
+            listed = jax.lax.all_to_all(
+                listed_send.astype(jnp.int32), AXIS, 0, 0
+            ).reshape(-1) > 0  # (n*shard_head,) canonical head order
+            color, depth = rp.rasterize_setup_pallas_binned_band_dist(
+                ti, tf, listed, prec_i, prec_f, offs,
+                width, height, band_h, row0,
+                slab_records=rp.DIST_SLAB_RECORDS,
+                interpret=pallas_interpret,
+            )
+            return rp.unpack_rgba8(color), depth
         if use_pallas:
             from zrenderer_tpu.ops import raster_pallas as rp
 
@@ -165,12 +197,17 @@ def make_sharded_frame(mesh: Mesh, width: int, height: int,
             )
             if use_binned:
                 # Record-streaming binned band — the large-scene default
-                # (2.82x over the hierarchy at 1M single-chip; every
-                # device computes the same pair lists, consumes its own
-                # band's spans).
+                # (2.82x over the hierarchy at 1M single-chip).  The
+                # gathered row layout is n * capped_rows(shard_tris),
+                # which does NOT invert as a single device's capped
+                # layout — the true head count is threaded through
+                # explicitly (n shards of shard_tris slot-0 rows lead
+                # after canonical_order_perm).
                 color, depth = rp.rasterize_setup_pallas_binned_band(
                     ti, tf, width, height, band_h, row0,
                     interpret=pallas_interpret,
+                    n_head=n * tri_vidx_shard.shape[0],
+                    pair_budget=rp.band_pair_budget(n),
                 )
             else:
                 color, depth = rp.rasterize_setup_pallas_band(
@@ -254,13 +291,14 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
                 binning == "auto" and rows > rp.VMEM_RESIDENT_MAX_TRIS
             )
             if use_binned:
-                # Record-streaming binned band — the large-scene default
-                # (2.82x over the hierarchy at 1M single-chip; every
-                # device computes the same pair lists, consumes its own
-                # band's spans).
+                # Record-streaming binned band (see make_sharded_frame:
+                # the true head count of the gathered layout is threaded
+                # explicitly).
                 color, depth = rp.rasterize_setup_pallas_binned_band(
                     ti, tf, width, height, band_h, row0,
                     interpret=pallas_interpret,
+                    n_head=n_geom * n_tiles * tri_vidx_shard.shape[0],
+                    pair_budget=rp.band_pair_budget(n_tiles),
                 )
             else:
                 color, depth = rp.rasterize_setup_pallas_band(
@@ -297,6 +335,110 @@ def make_sharded_frame_2d(mesh: Mesh, width: int, height: int,
             jax.device_put(tri_vidx, tri_sh),
             jax.device_put(matrices, rep),
             jax.device_put(node_ids, rep),
+        )
+
+    return frame_fn, shard_inputs
+
+
+def make_sharded_deferred_frame(mesh: Mesh, width: int, height: int,
+                                use_pallas=True, binning: str = "auto"):
+    """Multi-chip DEFERRED pipeline (VERDICT r4 #5): geometry-sharded
+    triangle setup + band-sharded record-streaming G-buffer raster +
+    per-band tiled light culling + GGX shading, composed as ONE jitted
+    shard_map step.
+
+    Per device: raster its horizontal band's 13 G-buffer planes with the
+    binned band kernel (band-local prepare — the binning shards too),
+    reconstruct world positions from GLOBAL pixel coordinates
+    (ops/shading.py reconstruct_world_pos row_offset), cull lights
+    against the band's tiles in global screen space, and run the tiled
+    GGX kernel on the band (ops/light_kernel.py row_offset/full_height).
+    No collective after the setup all-gather — G-buffer planes, light
+    lists, and the shaded band never leave the chip.
+
+    Bit-exact vs the single-device deferred pipeline
+    (tests/test_sharded_deferred.py).  Returns (frame_fn, shard_inputs):
+    frame_fn(positions, attrs, tri_vidx, matrices, node_ids, normal_mats,
+    materials, inv_view_proj, cam_pos, light_pos, light_color, view_proj)
+    -> (rgba (H, W, 4) u8, depth (H, W)) band-sharded."""
+    n = mesh.devices.size
+    assert height % n == 0, "height must divide across the mesh"
+    band_h = height // n
+    pallas_interpret = use_pallas == "interpret"
+
+    from zrenderer_tpu.ops import raster_pallas as rp
+    from zrenderer_tpu.ops import shading
+    from zrenderer_tpu.ops.light_kernel import tiled_deferred_lighting
+
+    def step(positions, attrs, tri_vidx_shard, matrices, node_ids,
+             normal_mats, materials, inv_view_proj, cam_pos,
+             light_pos, light_color, view_proj):
+        ti_local, tf_local = g.geometry_pipeline(
+            jnp, positions, attrs, tri_vidx_shard, matrices, node_ids,
+            width, height, normal_matrices=normal_mats,
+            material_table=materials,
+        )
+        ti = jax.lax.all_gather(ti_local, AXIS, axis=0, tiled=True)
+        tf = jax.lax.all_gather(tf_local, AXIS, axis=0, tiled=True)
+        perm = canonical_order_perm(n, tri_vidx_shard.shape[0])
+        ti = ti[perm]
+        tf = tf[perm]
+
+        row0 = jax.lax.axis_index(AXIS) * band_h
+        outs = rp.rasterize_gbuffer_pallas_binned_band(
+            ti, tf, width, height, band_h, row0,
+            interpret=pallas_interpret,
+            n_head=n * tri_vidx_shard.shape[0],
+            pair_budget=rp.band_pair_budget(n),
+        )
+        (packed, depth, u, v, nx, ny, nz,
+         met, rgh, emr, emg, emb, tex_layer) = outs
+        rgba = rp.unpack_rgba8(packed)
+        covered = depth < 1.0
+        albedo = rgba[..., :3].astype(jnp.float32) / 255.0
+        normal = jnp.stack([nx, ny, nz], axis=-1)
+        world = shading.reconstruct_world_pos(
+            depth, inv_view_proj, width, height, row_offset=row0)
+        rgb = tiled_deferred_lighting(
+            albedo, normal, world, covered, cam_pos,
+            light_pos, light_color, view_proj,
+            roughness=rgh, metallic=met, interpret=pallas_interpret,
+            row_offset=row0, full_height=height,
+        )
+        rgb = rgb + jnp.stack([emr, emg, emb], axis=-1)
+        return shading.tonemap_and_pack(rgb, covered), depth
+
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(), P(), P(), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None)),
+    )
+    params = inspect.signature(shard_map).parameters
+    if "check_rep" in params:
+        kwargs["check_rep"] = False
+    elif "check_vma" in params:
+        kwargs["check_vma"] = False
+    frame_fn = jax.jit(shard_map(step, **kwargs))
+
+    def shard_inputs(positions, attrs, tri_vidx, matrices, node_ids,
+                     normal_mats, materials, inv_view_proj, cam_pos,
+                     light_pos, light_color, view_proj):
+        rep = NamedSharding(mesh, P())
+        tri_sh = NamedSharding(mesh, P(AXIS))
+        put = lambda x, s: jax.device_put(jnp.asarray(x), s)
+        return (
+            put(positions, rep), put(attrs, rep), put(tri_vidx, tri_sh),
+            put(matrices, rep), put(node_ids, rep), put(normal_mats, rep),
+            put(materials, rep), put(inv_view_proj, rep), put(cam_pos, rep),
+            put(light_pos, rep), put(light_color, rep), put(view_proj, rep),
         )
 
     return frame_fn, shard_inputs
