@@ -9,6 +9,8 @@ from zrenderer_tpu.app.main import main as app_main, scene_outliner
 from zrenderer_tpu.scene.procedural import make_test_scene
 from zrenderer_tpu.utils.png import read_png
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):

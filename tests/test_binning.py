@@ -5,6 +5,9 @@ import numpy as np
 from zrenderer_tpu.engine.upload import flatten_scene
 from zrenderer_tpu.ops import geometry as g
 from zrenderer_tpu.scene.procedural import make_test_scene, make_stress_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
 
 
 def _setup(tri_align=128):

@@ -20,9 +20,12 @@ from zrenderer_tpu.ops import taa
 from zrenderer_tpu.parallel.tiles import make_sharded_taa_frame
 from zrenderer_tpu.scene.procedural import make_stress_scene
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,  # heavyweight; excluded from the smoke tier
+]
 
 W, H = 128, 64
 

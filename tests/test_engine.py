@@ -13,6 +13,8 @@ from zrenderer_tpu.engine.stats import FrameStats
 from zrenderer_tpu.profiling import ztracy
 from zrenderer_tpu.scene.procedural import make_test_scene
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def renderer():

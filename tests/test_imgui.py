@@ -12,6 +12,9 @@ import numpy as np
 from zrenderer_tpu.app.font import UIAtlas
 from zrenderer_tpu.app.imgui import Context
 from zrenderer_tpu.raster_ref.overlay_cpu import composite_overlay_cpu
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
 
 W, H = 320, 240
 

@@ -13,6 +13,10 @@ from zrenderer_tpu.ops.light_kernel import (
     tiled_deferred_lighting,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def _vp(width, height):
     view = zm.look_at_rh(zm.vec3(0, 0, 10), zm.vec3(0, 0, 0), zm.vec3(0, 1, 0))

@@ -15,6 +15,8 @@ from zrenderer_tpu.engine.renderer import Renderer
 from zrenderer_tpu.engine.textures import Texture, checkerboard
 from zrenderer_tpu.scene.procedural import make_material_scene
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 W, H = 128, 96
 
 

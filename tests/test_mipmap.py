@@ -13,6 +13,8 @@ from zrenderer_tpu.ops.mipmap import (
 )
 from zrenderer_tpu.ops import sampling
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def test_box_filter_exact_average():
     # The filter must be 0.25 * (s00 + s01 + s10 + s11), like

@@ -19,6 +19,8 @@ from zrenderer_tpu.app.font import UIAtlas
 from zrenderer_tpu.ops import overlay_raster as ov
 from zrenderer_tpu.raster_ref.overlay_cpu import composite_overlay_cpu
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 W, H = 128, 64  # one Pallas tile wide, two tall
 
 

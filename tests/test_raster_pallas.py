@@ -21,6 +21,8 @@ from zrenderer_tpu.ops.experiments import raster_vis_trans as rvt
 from zrenderer_tpu.raster_ref import raster_cpu
 from zrenderer_tpu.scene.procedural import make_test_scene
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def test_pallas_interpret_bit_exact_parity():
     W, H = 128, 32  # one (TILE_H, TILE_W) tile

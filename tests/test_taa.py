@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from zrenderer_tpu.ops import taa
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def test_halton_sequence_properties():
     j = taa.jitter_sequence(16)

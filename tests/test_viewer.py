@@ -15,6 +15,8 @@ from zrenderer_tpu.engine.config import RenderConfig
 from zrenderer_tpu.scene.procedural import make_test_scene
 from zrenderer_tpu.utils.png import decode_png
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 W, H = 320, 240  # large enough that the bottom-right corner is UI-free
 
 
