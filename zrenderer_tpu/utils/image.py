@@ -13,6 +13,9 @@ imaging dependency):
 * HDR   — utils/hdr.py (Radiance RGBE, RLE scanlines -> float32 RGBA)
 * TIFF  — utils/tiff.py (strips + tiles; none/LZW/Deflate/PackBits;
           predictor 2; gray/palette/RGB/RGBA — the WIC-only container)
+* DDS   — utils/dds.py (BC1/BC2/BC3 block decompression, mask-driven
+          uncompressed RGB(A), DX10 header — the native D3D container)
+* ICO   — utils/ico.py (PNG and BMP-DIB entries, AND-mask transparency)
 * BMP   — uncompressed BI_RGB 24/32-bit, bottom-up and top-down
 * TGA   — type 2/10 (uncompressed / RLE true-color), 24/32-bit
 * PNM   — P5 (grayscale) / P6 (RGB), maxval 255
@@ -53,6 +56,14 @@ def read_image(path) -> np.ndarray:
         from zrenderer_tpu.utils.tiff import decode_tiff
 
         return decode_tiff(data)
+    if data[:4] == b"DDS ":
+        from zrenderer_tpu.utils.dds import decode_dds
+
+        return decode_dds(data)
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6:
+        from zrenderer_tpu.utils.ico import decode_ico
+
+        return decode_ico(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
