@@ -19,6 +19,8 @@ from zrenderer_tpu.ops import raster_xla
 from zrenderer_tpu.raster_ref import raster_cpu
 from zrenderer_tpu.scene.procedural import make_test_scene, make_triangle_soup
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 
 def _prepare(scene, mesh_data, width, height, camera=None):
     flat = flatten_scene(scene, mesh_data, pad=True, tri_align=64)
@@ -189,3 +191,37 @@ def test_parity_wide_viewport_adaptive_guard():
     img_cpu, depth_cpu = raster_cpu.rasterize_setup(ti, tf, 2560, 128)
     assert (depth_cpu < 1.0).mean() > 0.02  # scene is small at 20:1 aspect
     assert np.isfinite(img_cpu).all()
+
+
+def test_ssaa_resolve_matches_manual_box_filter():
+    """RenderConfig(supersample=2): the flat frame renders at 2x and
+    box-resolves (the MSAA-capable-pass analog, docs/QUIRKS.md #11).
+    The resolved frame must equal the manual resolve of the 2x render,
+    and must differ from the 1x render (it actually anti-aliases)."""
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+    from zrenderer_tpu.scene.procedural import make_test_scene
+
+    W, H = 96, 64
+    scene, md = make_test_scene()
+    r2 = Renderer(RenderConfig(width=W, height=H, backend="xla",
+                               tri_align=64, supersample=2))
+    r2.load_scene(scene, md)
+    img2, depth2 = r2.render_and_read()
+    assert img2.shape == (H, W, 4) and depth2.shape == (H, W)
+
+    r1 = Renderer(RenderConfig(width=W, height=H, backend="xla",
+                               tri_align=64))
+    r1.load_scene(scene, md)
+    img1, _ = r1.render_and_read()
+    assert not np.array_equal(img1, img2)  # edges are anti-aliased
+
+    rbig = Renderer(RenderConfig(width=2 * W, height=2 * H, backend="xla",
+                                 tri_align=64))
+    rbig.load_scene(scene, md)
+    big, bigd = rbig.render_and_read()
+    c = big.astype(np.uint32).reshape(H, 2, W, 2, 4).sum(axis=(1, 3))
+    manual = ((c + 2) // 4).astype(np.uint8)
+    np.testing.assert_array_equal(img2, manual)
+    np.testing.assert_array_equal(
+        depth2, np.asarray(bigd).reshape(H, 2, W, 2).min(axis=(1, 3)))

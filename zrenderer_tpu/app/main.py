@@ -66,6 +66,10 @@ def main(argv=None) -> int:
                              "sorted triangle lists, wins on dense soups)")
     parser.add_argument("--debug", action="store_true",
                         help="interpret-mode kernels (the debug layer)")
+    parser.add_argument("--ssaa", type=int, default=1,
+                        help="ordered-grid supersampling factor for the "
+                             "flat pipeline (MSAA analog; TAA is the "
+                             "temporal alternative)")
     parser.add_argument("--trace", default=None,
                         help="capture a jax.profiler trace to this dir")
     args = parser.parse_args(argv)
@@ -85,6 +89,7 @@ def main(argv=None) -> int:
     config = RenderConfig(
         width=args.width, height=args.height, backend=args.backend,
         pipeline=args.pipeline, debug=args.debug, binning=args.binning,
+        supersample=args.ssaa,
     )
     renderer = Renderer(config)
     renderer.load_scene(scene, mesh_data)

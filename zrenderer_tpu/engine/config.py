@@ -46,6 +46,12 @@ class RenderConfig:
     # blur, so away from contact edges the image is visually identical).
     shadow_lookup_stride: int = 1
     clear_color: tuple = (0.0, 0.0, 0.0, 1.0)
+    # Ordered-grid supersampling (the MSAA-capable-pass analog,
+    # zd3d12.zig:904-1046 sample-desc plumbing): render the flat pipeline
+    # at supersample x resolution and box-resolve down (integer filter,
+    # deterministic; depth resolves to per-box min).  TAA remains the
+    # temporal default for the demo (docs/QUIRKS.md).
+    supersample: int = 1
     # bf16 experiment (deferred/pallas only): stream the G-buffer planes
     # through the tiled light kernel at half width ("bf16"); BRDF math
     # stays f32.  "f32" (default) keeps the 1-LSB parity contract with the

@@ -190,6 +190,12 @@ class Renderer:
                       np.asarray([light_color], np.float32))
         self.lights = (np.asarray(lights[0], np.float32),
                        np.asarray(lights[1], np.float32))
+        if self.config.pipeline in ("lit", "shadowed"):
+            # Pre-build the sampler's atlas OUTSIDE any jit trace: the
+            # derived atlases are lazy (engine/textures.py), and a first
+            # touch inside a traced frame would rebuild it per trace
+            # (and must not populate the cache — tracer-leak guard).
+            _ = self.texture.pvar_atlas_u32
         if self.flat is not None:
             self._upload_material_table()
 
@@ -346,26 +352,35 @@ class Renderer:
 
     def _build_flat_frame(self):
         cfg = self.config
+        s = max(int(cfg.supersample), 1)
+        rw, rh = cfg.width * s, cfg.height * s
+        prw = -(-rw // raster_pallas.TILE_W) * raster_pallas.TILE_W
+        prh = -(-rh // raster_pallas.TILE_H) * raster_pallas.TILE_H
         if self.backend == "pallas":
 
             def frame(positions, attrs, tri_vidx, node_ids, matrices):
                 color, depth = raster_pallas.render_frame_pallas(
                     positions, attrs, tri_vidx, matrices, node_ids,
-                    cfg.width, cfg.height,
-                    cfg.pad_height, cfg.pad_width,
+                    rw, rh, prh, prw,
                     interpret=cfg.debug, binning=cfg.binning,
                     vertex_shader=self._vertex_shader,
                 )
-                return raster_pallas.unpack_rgba8(color), depth
+                color, depth = raster_pallas.unpack_rgba8(color), depth
+                if s > 1:
+                    color, depth = raster_xla.ssaa_resolve(color, depth, s)
+                return color, depth
 
         else:
 
             def frame(positions, attrs, tri_vidx, node_ids, matrices):
-                return raster_xla.render_frame_xla(
+                color, depth = raster_xla.render_frame_xla(
                     positions, attrs, tri_vidx, matrices, node_ids,
-                    cfg.width, cfg.height,
+                    rw, rh,
                     vertex_shader=self._vertex_shader,
                 )
+                if s > 1:
+                    color, depth = raster_xla.ssaa_resolve(color, depth, s)
+                return color, depth
 
         return frame
 
@@ -799,7 +814,8 @@ class Renderer:
             # much as the raster kernel at 1080p) and digests it directly;
             # the presented frame is produced ONCE after the scan.
             raw_frame = None
-            if pipeline == "flat" and self.backend == "pallas":
+            if (pipeline == "flat" and self.backend == "pallas"
+                    and self.config.supersample <= 1):
                 cfg = self.config
 
                 def raw_frame(positions, attrs, tri_vidx, node_ids,

@@ -179,6 +179,24 @@ def render_setup_to_u8(tri_i32, tri_f32, width: int, height: int):
     return pack_u8(rgba), depth
 
 
+def ssaa_resolve(color_u8, depth, s: int):
+    """Ordered-grid supersample resolve: average s x s sample boxes of an
+    (s*H, s*W, 4) u8 frame down to (H, W, 4) — the MSAA-capable-pass
+    analog (the reference's PSO plumbing carries sample-desc state,
+    zd3d12.zig:904-1046, though its demo never multisamples).  Integer
+    box filter with round-half-up, so the resolve is deterministic across
+    backends; depth resolves to the per-box MIN (the conservative
+    occlusion convention for downstream passes)."""
+    h2, w2 = depth.shape
+    h, w = h2 // s, w2 // s
+    c = color_u8.astype(jnp.uint32).reshape(h, s, w, s, 4)
+    csum = c.sum(axis=(1, 3))
+    n = s * s
+    out = ((csum + n // 2) // n).astype(jnp.uint8)
+    d = depth.reshape(h, s, w, s).min(axis=(1, 3))
+    return out, d
+
+
 def render_frame_xla(positions, attrs, tri_vidx, matrices, node_ids,
                      width: int, height: int, vertex_shader=None):
     """Full frame: geometry pipeline + brute-force raster, jit-friendly.
