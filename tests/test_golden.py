@@ -15,6 +15,8 @@ import pytest
 from zrenderer_tpu.raster_ref import render_scene_cpu
 from zrenderer_tpu.scene.procedural import make_test_scene
 
+pytestmark = pytest.mark.slow  # heavyweight; excluded from the smoke tier
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
@@ -112,3 +114,117 @@ def test_showcase_lit_golden():
         "showcase lit render changed — if intentional, delete "
         "tests/goldens/showcase_lit_160x120.sha256 and rerun"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored-PNG goldens (VERDICT r4 #8): actual committed reference images for
+# every pipeline + TAA + overlay composite, compared with an explicit LSB
+# tolerance; failures write the actual and diff images next to the goldens
+# so a regression is actionable, not just a hash mismatch.
+# ---------------------------------------------------------------------------
+
+GW, GH = 160, 96
+
+
+def _check_png_golden(name, img, tol_lsb=0):
+    from zrenderer_tpu.utils.png import read_png, write_png
+
+    img = np.asarray(img)
+    path = os.path.join(GOLDEN_DIR, name + ".png")
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(path, img)
+        pytest.skip(f"golden {name} created; rerun to verify")
+    ref = read_png(path)
+    assert ref.shape == img.shape, (ref.shape, img.shape)
+    diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
+    if diff.max() > tol_lsb:
+        fail_dir = os.path.join(GOLDEN_DIR, "failures")
+        os.makedirs(fail_dir, exist_ok=True)
+        write_png(os.path.join(fail_dir, name + "_actual.png"), img)
+        write_png(
+            os.path.join(fail_dir, name + "_diff.png"),
+            np.clip(diff.max(axis=-1, keepdims=True) * 8, 0, 255)
+            .astype(np.uint8).repeat(3, axis=-1),
+        )
+        raise AssertionError(
+            f"golden {name}: max diff {int(diff.max())} LSB > {tol_lsb}; "
+            f"{int((diff.max(axis=-1) > tol_lsb).sum())} px differ "
+            f"(actual + diff written to {fail_dir})"
+        )
+
+
+def _golden_renderer(pipeline):
+    from zrenderer_tpu.engine.config import RenderConfig
+    from zrenderer_tpu.engine.renderer import Renderer
+
+    scene, md = make_test_scene()
+    r = Renderer(RenderConfig(width=GW, height=GH, pipeline=pipeline,
+                              backend="pallas", debug=True, tri_align=64))
+    r.load_scene(scene, md)
+    return r
+
+
+def test_png_golden_flat():
+    r = _golden_renderer("flat")
+    img, _ = r.render_and_read()
+    _check_png_golden("flat_160x96", img)
+
+
+def test_png_golden_lit():
+    from zrenderer_tpu.engine.textures import Texture, checkerboard
+
+    r = _golden_renderer("lit")
+    r.set_environment(texture=Texture.from_array(checkerboard(64, 8)))
+    img, _ = r.render_and_read()
+    _check_png_golden("lit_160x96", img)
+
+
+def test_png_golden_shadowed():
+    r = _golden_renderer("shadowed")
+    img, _ = r.render_and_read()
+    _check_png_golden("shadowed_160x96", img)
+
+
+def test_png_golden_deferred():
+    r = _golden_renderer("deferred")
+    rng = np.random.default_rng(5)
+    pos = rng.uniform([-5, 0.5, -5], [5, 5, 5], (8, 3)).astype(np.float32)
+    col = rng.uniform(0.2, 2.0, (8, 3)).astype(np.float32)
+    r.set_environment(lights=(pos, col))
+    img, _ = r.render_and_read()
+    _check_png_golden("deferred_160x96", img)
+
+
+def test_png_golden_taa_converged():
+    """8 jittered frames through the TAA resolve (the app/main.py --taa
+    composition), pinning the converged temporal image."""
+    from zrenderer_tpu.ops import taa as taa_ops
+
+    r = _golden_renderer("flat")
+    jitters = taa_ops.jitter_sequence(8)
+    history = None
+    for i in range(8):
+        r.render(jitter=jitters[i % 8])
+        color, depth_dev = r._pending
+        if history is None:
+            history = taa_ops.taa_init_history(color)
+        history, resolved = taa_ops.taa_resolve(history, color)
+        r._pending = (resolved, depth_dev)
+    img, _ = r.read_frame()
+    _check_png_golden("taa_converged_160x96", img)
+
+
+def test_png_golden_overlay_composite():
+    """Flat frame + the stats/outliner overlay raster composite
+    (app/main.py --overlay) with FIXED text (live timings would make the
+    golden nondeterministic)."""
+    from zrenderer_tpu.app.overlay_ui import OverlayUI
+
+    r = _golden_renderer("flat")
+    img, _ = r.render_and_read()
+    overlay = OverlayUI(GW, GH)
+    img2 = overlay.compose(
+        img, ["zrenderer-tpu golden", "nodes: Cube, Cube.002"]
+    )
+    _check_png_golden("overlay_160x96", np.asarray(img2))
