@@ -35,6 +35,11 @@ def main() -> int:
     budget = None
     if "--budget" in sys.argv:
         budget = int(sys.argv[sys.argv.index("--budget") + 1])
+    coarse = None
+    if "--coarse" in sys.argv:
+        i = sys.argv.index("--coarse") + 1
+        coarse = int(sys.argv[i]) if i < len(sys.argv) \
+            and sys.argv[i].isdigit() else 8
     only = None
     if "--only" in sys.argv:
         # e.g. --only tile_lists: skip the hierarchy run (at 1M soup the
@@ -99,6 +104,12 @@ def main() -> int:
              lambda a, c, w, h: rp.rasterize_setup_pallas_binned_hbm(
                  a, c, w, h, cap=cap, pair_budget=budget)),
         ]
+        if coarse is not None:
+            variants.append(
+                ("tl+coarse",
+                 lambda a, c, w, h: rp.rasterize_setup_pallas_binned_hbm(
+                     a, c, w, h, cap=cap, pair_budget=budget,
+                     coarse_cap=coarse, coarse_budget=budget)))
     else:
         variants = [("hierarchy", rp.rasterize_setup_pallas),
                     ("tile_lists", rp.rasterize_setup_pallas_binned)]

@@ -208,3 +208,35 @@ def test_binned_band_traces_at_multichip_1m_scale():
     color, depth = jax.eval_shape(fn, ti, tf, row0=row0)
     assert color.shape == (256, 1920)
     assert depth.shape == (256, 1920)
+
+
+def test_coarse_class_matches_and_engages():
+    """The coarse second list class (big-footprint leftovers as
+    (coarse-bin, triangle) records with per-record bbox masks) must be
+    bit-identical to the hierarchy-leftover path and actually own the
+    cap-exceeding triangles (coffsets non-empty, hierarchy rows killed)."""
+    ti, tf, W, H = _mixed_soup()
+    c_ref, d_ref = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4)
+    c_c, d_c = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4, coarse_cap=8)
+    _assert_same(d_c, d_ref)
+    _assert_same(c_c, c_ref)
+
+    out = rp.prepare_binned_hbm_inputs(ti, tf, W, H, cap=4, coarse_cap=8)
+    assert len(out) == 10
+    coffsets = np.asarray(out[7])
+    assert coffsets[-1] > 0, "coarse class must own some leftovers"
+
+
+def test_coarse_class_budget_overflow_demotes_to_hierarchy():
+    """Coarse-budget overflow falls back to the hierarchy, image
+    unchanged."""
+    ti, tf, W, H = _mixed_soup()
+    c_ref, d_ref = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4)
+    c_c, d_c = rp.rasterize_setup_pallas_binned_hbm(
+        ti, tf, W, H, interpret=True, cap=4, coarse_cap=8,
+        coarse_budget=8)
+    _assert_same(d_c, d_ref)
+    _assert_same(c_c, c_ref)

@@ -1682,7 +1682,10 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
                               cap: int | None = None,
                               pair_budget: int | None = None,
                               n_head: int | None = None,
-                              band_ty0=None, band_tiles_y: int | None = None):
+                              band_ty0=None, band_tiles_y: int | None = None,
+                              coarse_cap: int | None = None,
+                              coarse_budget: int | None = None,
+                              coarse_cb: int = 4):
     """Pair build + value-sort + record gather for the streaming binned
     kernel.  Returns (offsets, prec_i, prec_f, supers, blocks, hti, htf):
     offsets (NUM_TILES+1,) i32 span boundaries in RECORDS; prec_i
@@ -1805,9 +1808,58 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
         crec[:, I32_LANES:], jnp.float32
     ).reshape(p // 2, 2 * F32_LANES)
 
+    # Coarse second list class (VERDICT r4 #4): triangles too big (or
+    # budget-demoted) for the fine lists get (coarse-bin, triangle)
+    # records over coarse_cb x coarse_cb fine-tile bins.  The kernel
+    # streams the bin's span with a per-record bbox mask — bounding the
+    # leftover phase, which otherwise scans the per-tile hierarchy
+    # (quadratic on incoherent soups: the 1M dense soup spent ~8 s
+    # there).  Opt-in (static key emission + a second sort cost
+    # n_head * coarse_cap slots even when no triangle qualifies).
+    clisted = jnp.zeros_like(listed)
+    coarse_out = None
+    if coarse_cap is not None:
+        assert band_tiles_y is None, "coarse class: full-frame only"
+        ctiles_x = (tiles_x + coarse_cb - 1) // coarse_cb
+        ctiles_yy = (tiles_y + coarse_cb - 1) // coarse_cb
+        num_cbins = ctiles_x * ctiles_yy
+        cj0 = tj0 // coarse_cb
+        cj1 = tj1 // coarse_cb
+        cy0 = ty0 // coarse_cb
+        cy1 = ty1 // coarse_cb
+        ncx = cj1 - cj0 + 1
+        ncy = cy1 - cy0 + 1
+        cfoot = ncx * ncy
+        clisted = valid & ~listed & (cfoot <= coarse_cap)
+        if coarse_budget is None:
+            coarse_budget = pair_budget
+        ck_budget = min(coarse_budget, n_input * coarse_cap)
+        clisted = clisted & (
+            jnp.cumsum(jnp.where(clisted, cfoot, 0), dtype=jnp.int32)
+            <= ck_budget
+        )
+        ckeys = []
+        for e in range(coarse_cap):
+            dx = e % ncx
+            dy = e // ncx
+            cvalid = clisted & (e < cfoot)
+            ckeys.append(
+                jnp.where(cvalid, (cy0 + dy) * ctiles_x + (cj0 + dx),
+                          num_cbins)
+            )
+        ckeys = jnp.stack(ckeys, axis=1).reshape(-1)
+        sorted_ctri, coffsets = _pair_value_sort(ckeys, coarse_cap,
+                                                 num_cbins)
+        cpad = (-ck_budget) % REC_ALIGN + REC_CHUNK
+        cp = ck_budget + cpad
+        sorted_ctri = jnp.concatenate(
+            [sorted_ctri[:ck_budget], jnp.zeros(cpad, jnp.int32)]
+        )
+        coarse_out = (coffsets, sorted_ctri, cp)
+
     # Leftover hierarchy: empty listed rows so the block tables skip them.
     row_listed = jnp.concatenate(
-        [listed, jnp.zeros(tri_i32.shape[0] - n_input, bool)]
+        [listed | clisted, jnp.zeros(tri_i32.shape[0] - n_input, bool)]
     )
     hier = tri_i32
     hier = hier.at[:, g.I_JMIN].set(
@@ -1820,7 +1872,16 @@ def prepare_binned_hbm_inputs(tri_i32, tri_f32, width: int, height: int,
     blocks = g.block_bounds(jnp, hier)
     blocks, supers = g.super_bounds(jnp, blocks)
     hti, htf = _hbm_flat_inputs(hier, tri_f32)
-    return offsets, prec_i, prec_f, supers, blocks, hti, htf
+    if coarse_out is None:
+        return offsets, prec_i, prec_f, supers, blocks, hti, htf
+    coffsets, sorted_ctri, cp = coarse_out
+    ccrec = comb[sorted_ctri].at[:, L_PID].set(sorted_ctri)
+    cprec_i = ccrec[:, :I32_LANES].reshape(cp // 4, 4 * I32_LANES)
+    cprec_f = jax.lax.bitcast_convert_type(
+        ccrec[:, I32_LANES:], jnp.float32
+    ).reshape(cp // 2, 2 * F32_LANES)
+    return (offsets, prec_i, prec_f, supers, blocks, hti, htf,
+            coffsets, cprec_i, cprec_f)
 
 
 def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
@@ -1830,7 +1891,9 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
                      gbuf_refs=None, gbuf_scratch=None,
                      const_refs=None, const_scratch=None,
                      depth_only=False, row_base=0,
-                     band_local_lists=False, n_sources=1):
+                     band_local_lists=False, n_sources=1,
+                     coffs_ref=None, cprec_i_hbm=None, cprec_f_hbm=None,
+                     coarse_cb=4):
     tile_i = pl.program_id(0)
     tile_j = pl.program_id(1)
     tiles_x = pl.num_programs(1)
@@ -1922,15 +1985,18 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
         tile_lin = (row_base // TILE_H + tile_i) * tiles_x + tile_j
         num_list_tiles = None  # single source, direct indexing
 
-    def stream_span(start, end):
+    def stream_span(start, end, src_i=None, src_f=None, masked=False):
+        src_i = prec_i_hbm if src_i is None else src_i
+        src_f = prec_f_hbm if src_f is None else src_f
+
         def window(done):
             wbase = (done // REC_ALIGN) * REC_ALIGN
             cp_i = pltpu.make_async_copy(
-                prec_i_hbm.at[pl.ds(wbase // 4, REC_CHUNK // 4), :],
+                src_i.at[pl.ds(wbase // 4, REC_CHUNK // 4), :],
                 rec_ibuf, rec_sems.at[0],
             )
             cp_f = pltpu.make_async_copy(
-                prec_f_hbm.at[pl.ds(wbase // 2, REC_CHUNK // 2), :],
+                src_f.at[pl.ds(wbase // 2, REC_CHUNK // 2), :],
                 rec_fbuf, rec_sems.at[1],
             )
             cp_i.start()
@@ -1948,8 +2014,29 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
                     fr = r2 * 4 + u // 2
                     fl = (u % 2) * F32_LANES
                     emask = (k >= lo) & (k < hi)
-                    eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
-                            rec_ibuf[ir, il + L_PID], emask)
+                    if not masked:
+                        eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
+                                rec_ibuf[ir, il + L_PID], emask)
+                    else:
+                        # Coarse-class records are bin residents, not
+                        # guaranteed tile hits: test the record's bbox
+                        # against this tile and skip the vector body for
+                        # misses (same per-record economics as the
+                        # phase-2 hierarchy body, without its per-tile
+                        # block/superblock scan).
+                        hit = emask & (
+                            (rec_ibuf[ir, il + g.I_JMAX] >= col0)
+                            & (rec_ibuf[ir, il + g.I_JMIN]
+                               < col0 + TILE_W)
+                            & (rec_ibuf[ir, il + g.I_IMAX] >= row0)
+                            & (rec_ibuf[ir, il + g.I_IMIN]
+                               < row0 + TILE_H)
+                        )
+
+                        @pl.when(hit)
+                        def _(ir=ir, il=il, fr=fr, fl=fl):
+                            eval_at(rec_ibuf, rec_fbuf, ir, il, fr, fl,
+                                    rec_ibuf[ir, il + L_PID], True)
                 return c
 
             jax.lax.fori_loop(lo // 8, (hi + 7) // 8, rec8, 0)
@@ -1959,6 +2046,16 @@ def _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i_hbm, prec_f_hbm,
 
     if n_sources == 1:
         stream_span(offs_ref[tile_lin], offs_ref[tile_lin + 1])
+        if coffs_ref is not None:
+            # Phase 1.5: the COARSE list class — big-footprint leftovers
+            # stream as (coarse-bin, triangle) records with a per-record
+            # bbox mask, bounding the leftover phase without the
+            # hierarchy's per-tile block scan (VERDICT r4 #4).
+            ctiles_x = (tiles_x + coarse_cb - 1) // coarse_cb
+            clin = ((row_base // TILE_H + tile_i) // coarse_cb) * ctiles_x \
+                + tile_j // coarse_cb
+            stream_span(coffs_ref[clin], coffs_ref[clin + 1],
+                        src_i=cprec_i_hbm, src_f=cprec_f_hbm, masked=True)
     else:
         # Distributed prepare (multi-chip all_to_all): one span per
         # source shard, offsets laid out (n_sources, band_tiles+1) and
@@ -2139,17 +2236,78 @@ def _binned_hbm_grid_spec(grid, num_outs, extra_scratch):
     )
 
 
+def _binned_hbm_coarse_kernel(offs_ref, coffs_ref, sup_ref, blk_ref,
+                              prec_i, prec_f, cprec_i, cprec_f,
+                              ti_hbm, tf_hbm, color_ref, depth_ref,
+                              zbuf, tidbuf, nr, ng, nb, den,
+                              rec_ibuf, rec_fbuf, rec_sems,
+                              ti_buf, tf_buf, dma_sems):
+    _binned_hbm_body(offs_ref, sup_ref, blk_ref, prec_i, prec_f,
+                     ti_hbm, tf_hbm, color_ref, depth_ref,
+                     zbuf, tidbuf, nr, ng, nb, den,
+                     rec_ibuf, rec_fbuf, rec_sems, ti_buf, tf_buf, dma_sems,
+                     coffs_ref=coffs_ref, cprec_i_hbm=cprec_i,
+                     cprec_f_hbm=cprec_f)
+
+
 def rasterize_setup_pallas_binned_hbm(tri_i32, tri_f32, width: int,
                                       height: int, interpret: bool = False,
                                       cap: int | None = None,
                                       pair_budget: int | None = None,
-                                      n_head: int | None = None):
+                                      n_head: int | None = None,
+                                      coarse_cap: int | None = None,
+                                      coarse_budget: int | None = None):
     """Per-tile-list raster at HBM scale (pair-ordered record streaming).
 
     Same bit-exact contract as rasterize_setup_pallas_binned (oracle
-    LESS == id tie-break), with no VMEM triangle-count ceiling."""
+    LESS == id tie-break), with no VMEM triangle-count ceiling.
+
+    ``coarse_cap``: opt-in second list class — big-footprint leftovers
+    stream as (coarse-bin, triangle) records with a per-record bbox mask
+    instead of riding the per-tile hierarchy scan (the dense-soup
+    leftover fix, VERDICT r4 #4).  Costs a second static
+    n_head*coarse_cap key sort, so the caller enables it for incoherent
+    scenes (benchmarks/soup.py --coarse)."""
     assert height % TILE_H == 0 and width % TILE_W == 0
     grid = (height // TILE_H, width // TILE_W)
+    if coarse_cap is not None:
+        (offsets, prec_i, prec_f, supers, blocks, hti, htf,
+         coffsets, cprec_i, cprec_f) = prepare_binned_hbm_inputs(
+            tri_i32, tri_f32, width, height, cap=cap,
+            pair_budget=pair_budget, n_head=n_head,
+            coarse_cap=coarse_cap, coarse_budget=coarse_budget)
+        tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                                 memory_space=pltpu.VMEM)
+        color, depth = _pallas_call(
+            _binned_hbm_coarse_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,  # offsets, coffsets -> SMEM
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # supers
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks
+                    pl.BlockSpec(memory_space=pl.ANY),  # prec_i
+                    pl.BlockSpec(memory_space=pl.ANY),  # prec_f
+                    pl.BlockSpec(memory_space=pl.ANY),  # cprec_i
+                    pl.BlockSpec(memory_space=pl.ANY),  # cprec_f
+                    pl.BlockSpec(memory_space=pl.ANY),  # hier ti
+                    pl.BlockSpec(memory_space=pl.ANY),  # hier tf
+                ],
+                out_specs=[tile_spec] * 2,
+                scratch_shapes=[
+                    pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # zbuf
+                    pltpu.VMEM((TILE_H, TILE_W), jnp.int32),  # tidbuf
+                ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)
+                     for _ in range(4)] + _REC_SLABS + list(_HBM_SLABS),
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((height, width), jnp.uint32),
+                jax.ShapeDtypeStruct((height, width), jnp.float32),
+            ],
+            interpret=interpret,
+        )(offsets, coffsets, supers, blocks, prec_i, prec_f,
+          cprec_i, cprec_f, hti, htf)
+        return color, depth
     offsets, prec_i, prec_f, supers, blocks, hti, htf = \
         prepare_binned_hbm_inputs(tri_i32, tri_f32, width, height, cap=cap,
                                   pair_budget=pair_budget, n_head=n_head)
@@ -2847,7 +3005,8 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
                         width: int, height: int,
                         pad_height: int, pad_width: int,
                         interpret: bool = False, binning: str = "auto",
-                        vertex_shader=None, raw_packed: bool = False):
+                        vertex_shader=None, raw_packed: bool = False,
+                        meshlet_cull=None):
     """Full frame: shared geometry pipeline + Pallas raster.
 
     Geometry runs at the true (width, height) viewport; the raster target is
@@ -2866,6 +3025,22 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
         jnp, positions, attrs, tri_vidx, matrices, node_ids, width, height,
         vertex_shader=vertex_shader,
     )
+    if meshlet_cull is not None:
+        # Cluster culling (the mesh-shader-pipeline analog): kill every
+        # head row of a provably-invisible meshlet (frustum sphere +
+        # backface cone, both conservative — bit-exact image contract).
+        # Killed rows vanish from the block/superblock tables AND the
+        # pair lists, so the whole raster phase skips them; meshlets
+        # align with RASTER_BLOCK (engine/upload.py build_meshlet_table).
+        bounds, mdraw, enabled, cam_local = meshlet_cull
+        keep = g.meshlet_keep_mask(jnp, bounds, mdraw, enabled,
+                                   matrices, cam_local)
+        n_tris = keep.shape[0] * g.RASTER_BLOCK
+        kill = jnp.concatenate([
+            jnp.repeat(~keep, g.RASTER_BLOCK),
+            jnp.zeros(tri_i32.shape[0] - n_tris, bool),  # fans stay
+        ])
+        tri_i32 = _kill_rows(jnp, tri_i32, kill)
     # NOTE on the alternative large-scene kernels — both measured SLOWER
     # than the single-pass HBM hierarchy kernel at 1M triangles and kept
     # only as tested, bit-identical experiments:
@@ -2883,8 +3058,13 @@ def render_frame_pallas(positions, attrs, tri_vidx, matrices, node_ids,
     #   LICM-hoisted by XLA and read reps-times too fast — see
     #   docs/PERFORMANCE.md "Benchmark traps").
     if _use_tile_lists(binning, tri_i32.shape[0]):
+        # Explicit tile_lists = the dense-soup choice: at HBM scale the
+        # coarse second list class rides along (same-run 1M-soup A/B:
+        # 8359 -> 1155 ms/frame, 7.2x, digests bit-equal — the leftover
+        # phase no longer scans the per-tile hierarchy;
+        # docs/PERFORMANCE.md round-5 section).
         raster = (
-            rasterize_setup_pallas_binned_hbm
+            partial(rasterize_setup_pallas_binned_hbm, coarse_cap=8)
             if tri_i32.shape[0] > VMEM_RESIDENT_MAX_TRIS
             else rasterize_setup_pallas_binned
         )
