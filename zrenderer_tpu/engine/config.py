@@ -65,6 +65,13 @@ class RenderConfig:
     vert_align: int = 128
     tri_align: int = 256
     lod: int = 0  # mesh LOD drawn (the reference hardcodes 0)
+    # Meshlet (cluster) culling — the mesh-shader-pipeline analog
+    # (zd3d12.zig:1147-1205): conservative frustum-sphere + backface-cone
+    # tests kill whole 128-triangle blocks before binning (flat
+    # pipeline).  Conservative wrt float geometry; snap-flipped
+    # sub-pixel slivers may differ (ops/geometry.py meshlet_keep_mask —
+    # the standard cone-culling contract), so the default stays off.
+    meshlet_cull: bool = False
     # Per-frame host-staging budget for traced constants (the 18 MB
     # per-frame upload heap analog, zd3d12.zig:62-63); exhaustion stalls
     # the device and retries (zd3d12.zig:1240-1250 semantics).

@@ -57,6 +57,7 @@ class Renderer:
         self._vertex_shader = None
         self._vertex_shader_key = None
         self._pending = None  # last enqueued frame (async dispatch)
+        self._meshlet_table = None  # set by load_scene when meshlet_cull
         log.info(
             "Renderer on %s (platform=%s, backend=%s)",
             self.device,
@@ -125,6 +126,15 @@ class Renderer:
                             k += 1
             self._draw_corners = corners
             self._static_light_vp = None
+            self._meshlet_table = None
+            if self.config.meshlet_cull:
+                bounds, mdraw, enabled = f.build_meshlet_table(
+                    g.RASTER_BLOCK)
+                self._meshlet_table = (
+                    jax.device_put(bounds, self.device),
+                    jax.device_put(mdraw, self.device),
+                    jax.device_put(enabled, self.device),
+                )
             self._upload_material_table()
             log.info(
                 "scene uploaded: %d draws, %d verts (%d padded), %d tris (%d padded)",
@@ -195,7 +205,7 @@ class Renderer:
             # derived atlases are lazy (engine/textures.py), and a first
             # touch inside a traced frame would rebuild it per trace
             # (and must not populate the cache — tracer-leak guard).
-            _ = self.texture.pvar_atlas_u32
+            _ = self.texture.oct_atlas_u32
         if self.flat is not None:
             self._upload_material_table()
 
@@ -350,6 +360,26 @@ class Renderer:
             return b["corner_cols"], None, None, b["tri_node"]
         return b["positions"], b["attrs"], b["tri_vidx"], b["vert_node"]
 
+    def _meshlet_cull_arg(self, cam_local=None):
+        """(bounds, mdraw, enabled, cam_local) for render_frame_pallas,
+        or None when cluster culling is off."""
+        if self._meshlet_table is None:
+            return None
+        b, m, e = self._meshlet_table
+        return (b, m, e, cam_local)
+
+    def cam_local_constants(self, camera=None, transforms=None):
+        """Per-draw camera position in each draw's LOCAL space (D, 4) —
+        the backface-cone half of meshlet culling (ops/geometry.py
+        meshlet_keep_mask)."""
+        camera = camera if camera is not None else self.scene.active_camera
+        n2w = self.flat.node_to_world
+        if transforms is not None:
+            n2w = np.asarray(transforms, np.float32)
+        cam = np.asarray([*camera.position[:3], 1.0], np.float32)
+        inv = np.linalg.inv(n2w.astype(np.float64)).astype(np.float32)
+        return np.einsum("j,djk->dk", cam, inv).astype(np.float32)
+
     def _build_flat_frame(self):
         cfg = self.config
         s = max(int(cfg.supersample), 1)
@@ -358,12 +388,16 @@ class Renderer:
         prh = -(-rh // raster_pallas.TILE_H) * raster_pallas.TILE_H
         if self.backend == "pallas":
 
-            def frame(positions, attrs, tri_vidx, node_ids, matrices):
+            def frame(positions, attrs, tri_vidx, node_ids, matrices,
+                      cam_local=None):
+                cull = self._meshlet_cull_arg(cam_local) \
+                    if cam_local is not None else None
                 color, depth = raster_pallas.render_frame_pallas(
                     positions, attrs, tri_vidx, matrices, node_ids,
                     rw, rh, prh, prw,
                     interpret=cfg.debug, binning=cfg.binning,
                     vertex_shader=self._vertex_shader,
+                    meshlet_cull=cull,
                 )
                 color, depth = raster_pallas.unpack_rgba8(color), depth
                 if s > 1:
@@ -461,8 +495,16 @@ class Renderer:
             pipeline = self.config.pipeline
             if pipeline == "flat":
                 matrices = self.camera_matrices(camera, transforms, jitter)
-                (matrices,) = self._stage_constants([matrices])
-                color, depth = frame(*self._geom_args(b), matrices)
+                if (self._meshlet_table is not None
+                        and self.backend == "pallas"):
+                    cam_local = self.cam_local_constants(camera, transforms)
+                    matrices, cam_local = self._stage_constants(
+                        [matrices, cam_local])
+                    color, depth = frame(*self._geom_args(b), matrices,
+                                         cam_local)
+                else:
+                    (matrices,) = self._stage_constants([matrices])
+                    color, depth = frame(*self._geom_args(b), matrices)
             else:
                 c = self._lit_constants(camera, transforms, jitter)
                 staged = self._stage_constants(
@@ -471,7 +513,7 @@ class Renderer:
                 c["matrices"], c["normal_mats"], c["inv_view_proj"] = staged
                 if pipeline == "lit":
                     color, depth = frame(
-                        b, self.texture.pvar_atlas_u32, c["matrices"],
+                        b, self.texture.oct_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         self.light_pos, self.light_color,
                     )
@@ -483,7 +525,7 @@ class Renderer:
                         "nij,jk->nik", c["node_to_world"], light_vp
                     ).astype(np.float32)
                     color, depth, self._shadow_map = frame(
-                        b, self.texture.pvar_atlas_u32, c["matrices"],
+                        b, self.texture.oct_atlas_u32, c["matrices"],
                         c["normal_mats"], c["inv_view_proj"], c["cam_pos"],
                         light_matrices, light_vp, self.light_dir,
                         self.light_color,
@@ -773,6 +815,12 @@ class Renderer:
                 self.camera_matrices(*per_frame(i)) for i in range(num_frames)
             ])
             xs = {"matrices": mats}
+            if self._meshlet_table is not None and self.backend == "pallas":
+                xs["cam_local"] = np.stack([
+                    self.cam_local_constants(per_frame(i)[0],
+                                             per_frame(i)[1])
+                    for i in range(num_frames)
+                ])
         else:
             keys = ["matrices", "normal_mats", "inv_view_proj", "cam_pos",
                     "view_proj"]
@@ -819,34 +867,40 @@ class Renderer:
                 cfg = self.config
 
                 def raw_frame(positions, attrs, tri_vidx, node_ids,
-                              matrices):
+                              matrices, cam_local=None):
+                    cull = (self._meshlet_cull_arg(cam_local)
+                            if cam_local is not None else None)
                     return raster_pallas.render_frame_pallas(
                         positions, attrs, tri_vidx, matrices, node_ids,
                         cfg.width, cfg.height,
                         cfg.pad_height, cfg.pad_width,
                         interpret=cfg.debug, binning=cfg.binning,
                         vertex_shader=self._vertex_shader, raw_packed=True,
+                        meshlet_cull=cull,
                     )
 
             def body(carry, x):
                 if raw_frame is not None:
                     packed, _depth = raw_frame(
-                        *self._geom_args(b), x["matrices"])
+                        *self._geom_args(b), x["matrices"],
+                        x.get("cam_local"))
                     # Every frame is fully rasterized + resolved; the
                     # digest reduces the packed plane (convert fuses into
                     # the reduce — one pass, no 4-channel unpack).
                     return carry, jnp.sum(packed, dtype=jnp.float32)
                 if pipeline == "flat":
-                    color, depth = frame(*self._geom_args(b), x["matrices"])
+                    extra = ([x["cam_local"]] if "cam_local" in x else [])
+                    color, depth = frame(*self._geom_args(b), x["matrices"],
+                                         *extra)
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.pvar_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.pvar_atlas_u32, x["matrices"], x["normal_mats"],
+                        b, tex.oct_atlas_u32, x["matrices"], x["normal_mats"],
                         x["inv_view_proj"], x["cam_pos"],
                         x["light_matrices"], x["light_vp"], self.light_dir,
                         self.light_color,
@@ -873,17 +927,19 @@ class Renderer:
                 _, digests = jax.lax.scan(body, 0, xs_dev)
                 last = jax.tree.map(lambda v: v[-1], xs_dev)
                 if pipeline == "flat":
+                    extra = ([last["cam_local"]] if "cam_local" in last
+                             else [])
                     color, depth = frame(*self._geom_args(b),
-                                         last["matrices"])
+                                         last["matrices"], *extra)
                 elif pipeline == "lit":
                     color, depth = frame(
-                        b, tex.pvar_atlas_u32, last["matrices"],
+                        b, tex.oct_atlas_u32, last["matrices"],
                         last["normal_mats"], last["inv_view_proj"],
                         last["cam_pos"], self.light_pos, self.light_color,
                     )
                 elif pipeline == "shadowed":
                     color, depth, _sm = frame(
-                        b, tex.pvar_atlas_u32, last["matrices"],
+                        b, tex.oct_atlas_u32, last["matrices"],
                         last["normal_mats"], last["inv_view_proj"],
                         last["cam_pos"], last["light_matrices"],
                         last["light_vp"], self.light_dir, self.light_color,

@@ -47,6 +47,61 @@ class FlatScene:
     def draw_count(self) -> int:
         return len(self.node_to_world)
 
+    def build_meshlet_table(self, block: int = 128):
+        """Per-meshlet culling metadata — the mesh-shader-pipeline analog
+        (zd3d12.zig:1147-1205 createMeshShaderPipeline): a meshlet is a
+        block of ``block`` consecutive triangles of the flattened
+        submission order, deliberately aligned with the raster kernels'
+        RASTER_BLOCK granularity so a culled meshlet vanishes from the
+        block/superblock tables and the pair lists at zero extra cost.
+        The converter's Morton spatial sort (-O) makes blocks spatially
+        compact, so the bounds are tight without re-clustering.
+
+        Returns (bounds (M, 8) f32, mdraw (M,) i32, enabled (M,) bool):
+        bounds rows are [cx, cy, cz, radius, ax, ay, az, cone_cutoff] in
+        DRAW-LOCAL space (the native clusterizer's convention,
+        utils/native.py compute_meshlet_bounds; cutoff < 0 = cone never
+        cullable).  Blocks mixing draws are disabled (kept, conservative).
+        """
+        B = block
+        T = len(self.tri_vidx)
+        assert T % B == 0, "flattened triangles must pad to the block size"
+        M = T // B
+        tnode = self.vert_node[self.tri_vidx[:, 0]].reshape(M, B)
+        enabled = (tnode == tnode[:, :1]).all(axis=1)
+        mdraw = tnode[:, 0].astype(np.int32)
+
+        p = self.positions[self.tri_vidx.reshape(-1), :3].astype(np.float32)
+        p = p.reshape(M, B, 3, 3)
+        flatp = p.reshape(M, B * 3, 3)
+        lo = flatp.min(axis=1)
+        hi = flatp.max(axis=1)
+        center = (lo + hi) * np.float32(0.5)
+        radius = np.sqrt(
+            ((flatp - center[:, None]) ** 2).sum(axis=2).max(axis=1)
+        )
+
+        e1 = p[:, :, 1] - p[:, :, 0]
+        e2 = p[:, :, 2] - p[:, :, 0]
+        nrm = np.cross(e1, e2)
+        ln = np.linalg.norm(nrm, axis=2, keepdims=True)
+        live = ln[..., 0] > 0
+        nrm = np.where(ln > 0, nrm / np.where(ln > 0, ln, 1), 0.0)
+        axis = nrm.sum(axis=1)
+        alen = np.linalg.norm(axis, axis=1, keepdims=True)
+        axis = np.where(alen > 1e-20, axis / np.where(alen > 1e-20, alen, 1),
+                        0.0)
+        dots = (nrm * axis[:, None]).sum(axis=2)
+        cutoff = np.where(live, dots, 2.0).min(axis=1)
+        cutoff = np.where(
+            (alen[:, 0] > 1e-20) & live.any(axis=1), cutoff, -1.0
+        ).astype(np.float32)
+
+        bounds = np.concatenate(
+            [center, radius[:, None], axis, cutoff[:, None]], axis=1
+        ).astype(np.float32)
+        return bounds, mdraw, enabled
+
     def expand_corner_cols(self):
         """Column (SoA) per-corner expansion: ONE (48, T) f32 buffer whose
         row c*16+j holds channel j of triangle corner c (channels 0:4

@@ -246,3 +246,107 @@ def make_triangle_soup(
         )
     )
     return scene, mesh_data
+
+
+def make_sphere_field(num_triangles: int = 1_000_000, seed: int = 0,
+                      stacks: int = 64, slices: int = 128) -> tuple:
+    """Field of UV spheres — the meshlet-culling fixture: closed convex
+    surfaces where ~half of every sphere's 128-triangle clusters face
+    away from any camera (the lattice's camera-facing quads never
+    exercise the backface cone).  Spheres are Morton-ordered on a grid
+    and each sphere's UV triangle order is spatially compact, so
+    consecutive raster blocks cluster tightly (the meshlet table's
+    coherence assumption, engine/upload.py build_meshlet_table)."""
+    rng = np.random.default_rng(seed)
+    per_sphere = 2 * stacks * slices
+    count = max(1, num_triangles // per_sphere)
+    side = int(np.ceil(count ** (1.0 / 3.0)))
+    grid = np.stack(
+        np.meshgrid(np.arange(side), np.arange(side), np.arange(side),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)[:count]
+
+    def _spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    morton = (
+        _spread(grid[:, 0]) | (_spread(grid[:, 1]) << np.uint64(1))
+        | (_spread(grid[:, 2]) << np.uint64(2))
+    )
+    grid = grid[np.argsort(morton)]
+    spacing = 3.0
+    centers = (grid - (side - 1) / 2.0) * spacing
+
+    # One canonical UV sphere.
+    theta = np.linspace(0.0, np.pi, stacks + 1)
+    phi = np.linspace(0.0, 2.0 * np.pi, slices + 1)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    sx = np.sin(tt) * np.cos(pp)
+    sy = np.cos(tt)
+    sz = np.sin(tt) * np.sin(pp)
+    sv = np.stack([sx, sy, sz], axis=-1).reshape(-1, 3).astype(np.float32)
+    nv = len(sv)
+    base_verts = np.zeros((nv, 16), np.float32)
+    base_verts[:, 0:3] = sv
+    base_verts[:, 8] = 1.0
+    base_verts[:, 9:12] = sv  # outward normal
+
+    i0 = (np.arange(stacks)[:, None] * (slices + 1)
+          + np.arange(slices)[None, :])
+    quads = np.stack(
+        [i0, i0 + slices + 1, i0 + slices + 2, i0 + 1], axis=-1
+    ).reshape(-1, 4)
+    # PATCH-major quad order: 8x8 (stack, slice) tiles, so each
+    # 128-triangle meshlet block is one compact angular patch with a
+    # TIGHT normal cone (~16 deg half-angle at the default
+    # tessellation).  Ring-major order would wrap each block around a
+    # full 360-deg ring, making every cone degenerate and the backface
+    # cull a no-op.
+    P = 8
+    if stacks % P == 0 and slices % P == 0:
+        tiles = (np.arange(stacks * slices)
+                 .reshape(stacks // P, P, slices // P, P)
+                 .transpose(0, 2, 1, 3).reshape(-1))
+        quads = quads[tiles]
+    # CCW front faces seen from outside (matches the raster's front
+    # rule); quad-major interleave keeps the two halves of each quad in
+    # the same meshlet block.
+    base_idx = np.stack(
+        [quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], axis=1
+    ).reshape(-1, 3).astype(np.int64)
+
+    verts = np.tile(base_verts, (count, 1)).reshape(count, nv, 16)
+    verts[:, :, 0:3] += centers[:, None, :].astype(np.float32)
+    colors = rng.uniform(0.1, 1.0, (count, 1, 3)).astype(np.float32)
+    verts[:, :, 5:8] = colors
+    verts = verts.reshape(count * nv, 16)
+    idx = (base_idx[None] + (np.arange(count) * nv)[:, None, None])
+    idx = idx.reshape(-1)
+
+    mesh_data = MeshData()
+    mesh_data.append_mesh(verts, idx.astype(np.uint32))
+    scene = Scene()
+    scene.nodes.append(
+        Node(mesh_indices=[0], transform_index=0, name="sphere-field"))
+    scene.transforms.append(zm.identity())
+    dist = max(side * spacing * 1.35, 6.0)
+    eye = np.array([dist * 0.55, dist * 0.4, dist], np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    scene.cameras.append(
+        Camera(
+            position=eye,
+            forward=fwd.astype(np.float32),
+            yfov=0.9,
+            znear=0.5,
+            zfar=float(6 * dist),
+            name="sphere-cam",
+        )
+    )
+    return scene, mesh_data
