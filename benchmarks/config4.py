@@ -62,21 +62,23 @@ def main() -> int:
         # kernel (111.8 vs hbm1's 315.5 ms at 1M, benchmarks/binned_ab).
         color, depth = rp.rasterize_setup_pallas_binned_hbm(
             ti, tf, PW, PH)
-        rgba = rp.unpack_rgba8(color[:H, :W])
-        return rgba, depth
+        return color[:H, :W], depth
 
     @jax.jit
     def run(ms):
         def step(carry, m):
             hist, acc = carry
             hist2, m2 = jax.lax.optimization_barrier((hist, m))
-            rgba, depth = frame(m2)
-            hist3, resolved = taa.taa_resolve(hist2, rgba)
-            dig = (resolved[H // 2, W // 2].astype(jnp.float32).sum()
+            packed, depth = frame(m2)
+            # Packed/planar TAA (round 5): same integer resolve on u32
+            # frames + (3, H, W) history planes — the channel-minor
+            # (H, W, 3) form wasted 125/128 TPU lanes (tail_attr.py).
+            hist3, resolved = taa.taa_resolve_packed(hist2, packed)
+            dig = (resolved[H // 2, W // 2].astype(jnp.float32)
                    + depth[H // 2, W // 2])
             return (hist3, acc + dig), None
-        rgba0, _ = frame(ms[0])
-        hist0 = taa.taa_init_history(rgba0)
+        packed0, _ = frame(ms[0])
+        hist0 = taa.taa_init_history_packed(packed0)
         (hist, acc), _ = jax.lax.scan(step, (hist0, jnp.float32(0.0)), ms)
         return acc
 

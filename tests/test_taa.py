@@ -79,3 +79,36 @@ def test_taa_converges_and_clamps():
     new_hist, _ = taa.taa_resolve(jnp.asarray(bad_hist), jnp.asarray(stable))
     nh = np.asarray(new_hist)
     assert nh[8, 16].max() <= taa.FIXED_MAX
+
+
+def test_taa_resolve_packed_matches_channel_minor():
+    """The packed/planar resolve is the same integer arithmetic as the
+    (H, W, 3)-history form — resolved frames and histories bit-equal."""
+    import jax.numpy as jnp
+
+    from zrenderer_tpu.ops import taa
+
+    rng = np.random.default_rng(9)
+    H, W = 32, 128
+    f0 = rng.integers(0, 256, (H, W, 4), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (H, W, 4), dtype=np.uint8)
+    f0[..., 3] = 255
+    f1[..., 3] = 255
+
+    hist = taa.taa_init_history(jnp.asarray(f0))
+    hist2, resolved = taa.taa_resolve(hist, jnp.asarray(f1))
+
+    def pack(u8):
+        u = u8.astype(np.uint32)
+        return jnp.asarray(u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+                           | (u[..., 3] << 24))
+
+    hist_p = taa.taa_init_history_packed(pack(f0))
+    hist2_p, resolved_p = taa.taa_resolve_packed(hist_p, pack(f1))
+
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(hist2_p), 0, -1), np.asarray(hist2))
+    rp = np.asarray(resolved_p)
+    unpacked = np.stack([rp & 0xFF, (rp >> 8) & 0xFF, (rp >> 16) & 0xFF,
+                         (rp >> 24) & 0xFF], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(unpacked, np.asarray(resolved))

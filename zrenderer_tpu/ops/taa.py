@@ -55,17 +55,25 @@ def jittered_view_proj(view_proj: np.ndarray, jitter_xy,
     return j
 
 
-def _neighborhood_minmax(frame):
-    """3x3 min/max per pixel (edge-clamped)."""
-    lo = frame
-    hi = frame
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            shifted = jnp.roll(frame, (dy, dx), axis=(0, 1))
-            lo = jnp.minimum(lo, shifted)
-            hi = jnp.maximum(hi, shifted)
+def _neighborhood_minmax(frame, axes=(0, 1)):
+    """3x3 min/max per pixel (wrap-clamped, like the original 8-roll
+    form).  SEPARABLE: a vertical 3-tap pass then a horizontal 3-tap
+    pass over the reduced planes — integer min/max is associative, so
+    the result is bit-identical to the dense 3x3 while doing 6 rolls +
+    8 min/max ops instead of 8 rolls + 16."""
+    ay, ax = axes
+    up = jnp.roll(frame, 1, axis=ay)
+    dn = jnp.roll(frame, -1, axis=ay)
+    lo_v = jnp.minimum(jnp.minimum(frame, up), dn)
+    hi_v = jnp.maximum(jnp.maximum(frame, up), dn)
+    lo = jnp.minimum(
+        jnp.minimum(lo_v, jnp.roll(lo_v, 1, axis=ax)),
+        jnp.roll(lo_v, -1, axis=ax),
+    )
+    hi = jnp.maximum(
+        jnp.maximum(hi_v, jnp.roll(hi_v, 1, axis=ax)),
+        jnp.roll(hi_v, -1, axis=ax),
+    )
     return lo, hi
 
 
@@ -106,12 +114,57 @@ def taa_resolve(history_i32, current_u8, alpha: float = 0.1):
             f"alpha={alpha} quantizes to {w}/{BLEND_DENOM}; it must "
             f"round to a nonzero multiple of 1/{BLEND_DENOM} in (0, 1] "
             f"(minimum alpha is 1/{2 * BLEND_DENOM})")
-    cur = current_u8[..., :3].astype(jnp.int32) * 257
-    lo, hi = _neighborhood_minmax(cur)
-    clamped = jnp.clip(history_i32, lo, hi)
+    # PLANAR internals: (H, W, 3) uses 3 of 128 TPU lanes; moving
+    # channels to the leading dim gives every elementwise/roll op full
+    # (8, 128) tiles over (H, W) planes.  Pure data movement — the
+    # integer arithmetic is unchanged, so results stay bit-identical to
+    # the channel-minor form in every compilation context.
+    cur = jnp.moveaxis(
+        current_u8[..., :3].astype(jnp.int32), -1, 0) * 257  # (3, H, W)
+    histp = jnp.moveaxis(history_i32, -1, 0)
+    lo, hi = _neighborhood_minmax(cur, axes=(1, 2))
+    clamped = jnp.clip(histp, lo, hi)
     # max operand: 65535 * 64 + 32 < 2^23 — exact in i32 with headroom.
-    out = (clamped * (BLEND_DENOM - w) + cur * w
-           + BLEND_DENOM // 2) >> (BLEND_DENOM.bit_length() - 1)
-    resolved = ((out + 128) // 257).astype(jnp.uint8)
+    outp = (clamped * (BLEND_DENOM - w) + cur * w
+            + BLEND_DENOM // 2) >> (BLEND_DENOM.bit_length() - 1)
+    resolvedp = ((outp + 128) // 257).astype(jnp.uint8)
+    out = jnp.moveaxis(outp, 0, -1)
+    resolved = jnp.moveaxis(resolvedp, 0, -1)
     alpha_ch = jnp.full((*out.shape[:2], 1), 255, jnp.uint8)
     return out, jnp.concatenate([resolved, alpha_ch], axis=-1)
+
+
+def taa_init_history_packed(packed_u32):
+    """First-frame history from the raster's PACKED u32 frame: (3, H, W)
+    i32 fixed-point channel planes — the layout-native form (each plane
+    is perfectly (8, 128)-tiled; the channel-minor (H, W, 3) form uses 3
+    of 128 TPU lanes and measured ~13 ms/frame at 1080p)."""
+    r = (packed_u32 & 0xFF).astype(jnp.int32)
+    g = ((packed_u32 >> 8) & 0xFF).astype(jnp.int32)
+    b = ((packed_u32 >> 16) & 0xFF).astype(jnp.int32)
+    return jnp.stack([r, g, b], axis=0) * 257
+
+
+def taa_resolve_packed(history3, packed_u32, alpha: float = 0.1):
+    """taa_resolve on the packed-u32 frame with (3, H, W) history planes.
+
+    Bit-identical arithmetic to taa_resolve per channel (same integer
+    blend, same separable wrap 3x3 clamp) with NO channel-minor arrays
+    anywhere: channels unpack straight from the packed plane and the
+    resolved frame repacks to u32.  Returns (new_history3, resolved_u32).
+    """
+    w = int(round(alpha * BLEND_DENOM))
+    if not 0 < w <= BLEND_DENOM:
+        raise ValueError(
+            f"alpha={alpha} quantizes to {w}/{BLEND_DENOM}; it must "
+            f"round to a nonzero multiple of 1/{BLEND_DENOM} in (0, 1] "
+            f"(minimum alpha is 1/{2 * BLEND_DENOM})")
+    cur = taa_init_history_packed(packed_u32)  # (3, H, W) fixed point
+    lo, hi = _neighborhood_minmax(cur, axes=(1, 2))
+    clamped = jnp.clip(history3, lo, hi)
+    out = (clamped * (BLEND_DENOM - w) + cur * w
+           + BLEND_DENOM // 2) >> (BLEND_DENOM.bit_length() - 1)
+    res = ((out + 128) // 257).astype(jnp.uint32)
+    packed = (res[0] | (res[1] << 8) | (res[2] << 16)
+              | jnp.uint32(0xFF000000))
+    return out, packed
