@@ -99,13 +99,6 @@ def main():
     return 0
 
 
-if __name__ == "__main__":
-    rc = main()
-    if "--variants" in sys.argv:
-        rc = main2() or rc
-    if "--chains" in sys.argv:
-        rc = main3() or rc
-    sys.exit(rc)
 
 
 def _body_band_aligned(k, acc, buf, params):
@@ -198,3 +191,12 @@ def main3():
         print(f"nbuf={nbuf}: {t*1e6:8.1f} us, {per:6.2f} ns/op "
               f"sum={float(out.sum()):.0f}")
     return 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    if "--variants" in sys.argv:
+        rc = main2() or rc
+    if "--chains" in sys.argv:
+        rc = main3() or rc
+    sys.exit(rc)

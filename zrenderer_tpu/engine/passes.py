@@ -92,9 +92,12 @@ def _sample_albedo(rgba, tex_atlas_u32, u, v, tex_layer, th, tw, levels,
     layer = tex_layer.astype(jnp.int32) if layered else None
     # Single-gather trilinear (per-index gather cost made the 8-gather
     # path 131 ms and the 2-gather quad path ~12 ms at 1080p).  A 32-lane
-    # atlas is the parent-variant form (8 gathered lanes — halves the
-    # post-gather relayout vs the 16-lane oct row and drops the 3x3
-    # selection masks, bit-identical taps); 16-lane is the oct fallback.
+    # atlas is the parent-variant (pvar) form, 16-lane the oct form —
+    # bit-identical taps either way.  The oct atlas is the PRODUCTION
+    # choice: the round-5 on-chip A/B measured the full lit frame 1.16x
+    # FASTER with oct (11.14 vs 12.91 ms — pvar's narrower gather row
+    # does not pay for its 2x atlas width; benchmarks/pvar_ab.py,
+    # docs/PERFORMANCE.md round-5 section).
     if tex_atlas_u32.shape[-1] == 32:
         tex = sampling.sample_trilinear_pvar(
             tex_atlas_u32, th, tw, levels, uv, lod, layer=layer
